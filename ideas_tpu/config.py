@@ -1,0 +1,74 @@
+"""Training configuration.
+
+A dataclass with the same names and defaults as the reference's argparse
+flags (`/root/reference/train.py:330-370`), CLI-overridable via
+`ideas_tpu.train`. Extra TPU-native knobs live at the bottom.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # Reference flags (`train.py:330-366`), same defaults.
+    exp_name: str = "default"
+    dataset_path: str = ""
+    dataset_type: str = "normal"  # 'lmdb' | 'normal' | 'synthetic'
+    num_iters: int = 80000
+    N: int = 1
+    lambda_Ex: float = 10.0
+    ckpt: Optional[str] = None
+    lr: float = 0.002
+    batch_size: int = 1
+    image_size: int = 256
+    real_r1: float = 10.0
+    texture_r1: float = 1.0
+    dist_r1: float = 1.0
+    ref_crop: int = 4
+    n_crop: int = 8
+    d_reg_every: int = 16
+    channel: int = 32
+    channel_multiplier: int = 1
+    structure_channel: int = 8
+    texture_channel: int = 2048
+    log_every: int = 200
+    show_every: int = 1000
+    save_every: int = 200000
+    start_iter: int = 0
+    blur_kernel: Tuple[int, ...] = (1, 3, 3, 1)
+
+    # TPU-native knobs (not in the reference).
+    seed: int = 0
+    compute_dtype: Any = jnp.float32  # jnp.bfloat16 for mixed precision
+    num_data_devices: int = 0  # 0 = use all visible devices (data parallel)
+    experiments_dir: str = "experiments"
+    ema_halflife_kimg: float = 10.0  # accum = 0.5 ** (32/(10*1000)), train.py:30
+
+    @property
+    def ema_decay(self) -> float:
+        return 0.5 ** (32.0 / (self.ema_halflife_kimg * 1000.0))
+
+    def replace(self, **kw) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def tiny_config(**kw) -> TrainConfig:
+    """A minimal config for tests/CI: 64^2 images, small channels."""
+    base = dict(
+        image_size=64,
+        channel=8,
+        texture_channel=64,
+        structure_channel=8,
+        batch_size=2,
+        n_crop=2,
+        ref_crop=2,
+        num_iters=10,
+        dataset_type="synthetic",
+    )
+    base.update(kw)
+    return TrainConfig(**base)

@@ -1,0 +1,114 @@
+"""GAN losses and the patch sampler (`/root/reference/utils.py:105-149`).
+
+R1 (`utils.py:112-118`) is expressed as `jax.grad` of the critic output
+w.r.t. its *input* inside the discriminator loss function, which is itself
+differentiated w.r.t. the critic parameters — JAX nests the two grads
+where the reference uses `autograd.grad(create_graph=True)`.
+
+`patchify_image` (`utils.py:127-149`) is rebuilt traceable: the reference
+draws per-crop sizes/offsets with host RNG and runs a Python loop of
+`F.interpolate` calls (breaks under jit); here crop geometry comes from a
+`jax.random` key and sampling is a fixed-shape separable bilinear gather,
+so the whole patch pipeline lives inside the jitted train step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def softplus(x):
+    return jax.nn.softplus(x)
+
+
+def d_logistic_loss(real_pred, fake_pred):
+    """softplus(-real) + softplus(fake), each meaned (`utils.py:105-109`)."""
+    return jnp.mean(softplus(-real_pred)) + jnp.mean(softplus(fake_pred))
+
+
+def g_nonsaturating_loss(fake_pred):
+    """mean softplus(-fake) (`utils.py:121-124`)."""
+    return jnp.mean(softplus(-fake_pred))
+
+
+def d_r1_penalty(critic_fn, x):
+    """R1 gradient penalty: mean_b ||d critic(x).sum() / dx||^2
+    (`utils.py:112-118`). `critic_fn` maps images -> (B, 1) logits and
+    closes over the critic parameters, so differentiating the returned
+    scalar w.r.t. those parameters reproduces the double-backward of the
+    reference's `create_graph=True`.
+    """
+    grad = jax.grad(lambda img: jnp.sum(critic_fn(img)))(x)
+    return jnp.mean(jnp.sum(jnp.square(grad.reshape(grad.shape[0], -1)), axis=1))
+
+
+def l1_loss(a, b):
+    return jnp.mean(jnp.abs(a - b))
+
+
+# ---------------------------------------------------------------------------
+# Patch sampling
+# ---------------------------------------------------------------------------
+
+
+def _bilinear_resize_crop(img, c_y, c_x, c_h, c_w, target_h, target_w):
+    """Crop img[(c_y:c_y+c_h, c_x:c_x+c_w)] and bilinear-resize to target.
+
+    Matches `F.interpolate(mode='bilinear', align_corners=False)` on the
+    crop: source coordinate = (dst + 0.5) * crop/target - 0.5, clamped to
+    the crop borders. img: (B, H, W, C); c_* are traced scalars.
+    Separable: gather+lerp rows, then columns.
+    """
+    b, h, w, c = img.shape
+
+    def axis_coords(c0, clen, target, limit):
+        t = jnp.arange(target, dtype=jnp.float32)
+        src = (t + 0.5) * (clen.astype(jnp.float32) / target) - 0.5
+        src = jnp.clip(src, 0.0, clen.astype(jnp.float32) - 1.0)
+        i0 = jnp.floor(src)
+        frac = src - i0
+        i0 = i0.astype(jnp.int32) + c0
+        i1 = jnp.minimum(i0 + 1, c0 + clen - 1)
+        i0 = jnp.clip(i0, 0, limit - 1)
+        i1 = jnp.clip(i1, 0, limit - 1)
+        return i0, i1, frac
+
+    y0, y1, fy = axis_coords(c_y, c_h, target_h, h)
+    x0, x1, fx = axis_coords(c_x, c_w, target_w, w)
+
+    rows0 = jnp.take(img, y0, axis=1)
+    rows1 = jnp.take(img, y1, axis=1)
+    rows = rows0 + (rows1 - rows0) * fy[None, :, None, None].astype(img.dtype)
+    cols0 = jnp.take(rows, x0, axis=2)
+    cols1 = jnp.take(rows, x1, axis=2)
+    return cols0 + (cols1 - cols0) * fx[None, None, :, None].astype(img.dtype)
+
+
+def patchify_image(key, img, n_crop, min_size=1 / 8, max_size=1 / 4):
+    """Random multi-scale patches, resized to (H*max_size, W*max_size).
+
+    Returns (B * n_crop, target_h, target_w, C), ordered batch-major then
+    crop (matching `torch.stack(patches, 1).view(-1, ...)`,
+    `utils.py:147`): every image contributes the same n_crop regions.
+    """
+    b, h, w, c = img.shape
+    target_h = int(h * max_size)
+    target_w = int(w * max_size)
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    crop_frac = jax.random.uniform(k1, (n_crop,), jnp.float32, min_size, max_size)
+    c_h = (crop_frac * h).astype(jnp.int32)
+    c_w = (crop_frac * w).astype(jnp.int32)
+    # randrange(0, H - c_h): uniform integer in [0, H - c_h).
+    u_y = jax.random.uniform(k2, (n_crop,), jnp.float32)
+    u_x = jax.random.uniform(k3, (n_crop,), jnp.float32)
+    c_y = jnp.floor(u_y * (h - c_h).astype(jnp.float32)).astype(jnp.int32)
+    c_x = jnp.floor(u_x * (w - c_w).astype(jnp.float32)).astype(jnp.int32)
+
+    def one_crop(cy, cx, ch, cw):
+        return _bilinear_resize_crop(img, cy, cx, ch, cw, target_h, target_w)
+
+    patches = jax.vmap(one_crop)(c_y, c_x, c_h, c_w)  # (n_crop, B, th, tw, C)
+    patches = jnp.transpose(patches, (1, 0, 2, 3, 4))  # (B, n_crop, ...)
+    return patches.reshape(b * n_crop, target_h, target_w, c)

@@ -1,0 +1,373 @@
+"""IDEAS training: jitted alternating-GAN steps + CLI driver.
+
+Rebuilds the reference hot loop (`/root/reference/train.py:33-221`)
+functionally:
+
+  * `requires_grad` flag flipping (`train.py:48-54,135-141`) becomes
+    *which parameter subtree each loss is differentiated against* — the
+    D step takes grads w.r.t. (Dreal, Dco, Ddist) only, the G step w.r.t.
+    (E, G, Gstru, Ex) only.
+  * the `retain_graph=True` double backward (`train.py:210-216`) becomes
+    one joint grad: Loss_total's Ex-subtree gradient equals
+    lambda_Ex * dLoss_Ex/dEx (the only path from Ex params into
+    Loss_total is the lambda_Ex * Loss_Ex term), so the extractor update
+    divides that subtree by lambda_Ex instead of running a second backward.
+  * R1 every `d_reg_every` iters (`train.py:105-129`) is a second
+    discriminator update inside the same jitted step, using the
+    *already-updated* D parameters (the reference steps d_optim twice),
+    with nested `jax.grad` standing in for `create_graph=True`.
+  * EMA (`utils.py:55-60`) is a pytree lerp.
+  * the whole iteration — both phases, all three optimizers, EMA — is ONE
+    compiled XLA program (two variants: with / without the R1 phase), so
+    the six generator forwards and three discriminator passes get
+    scheduled together with no host round-trips.
+
+Data parallelism: batches sharded over a 1-D mesh, parameters replicated;
+the batch-mean losses make XLA insert the gradient all-reduce over ICI
+(the DDP allreduce of `stylegan2/train.py:425-438`).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Dict, NamedTuple, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ideas_tpu import parallel
+from ideas_tpu.config import TrainConfig
+from ideas_tpu.losses import (
+    d_logistic_loss,
+    d_r1_penalty,
+    g_nonsaturating_loss,
+    l1_loss,
+    patchify_image,
+)
+from ideas_tpu.models import init_model
+from ideas_tpu.stego import message_to_tensor, tensor_to_message
+
+G_GROUP = ("E", "G", "Gstru")
+EX_GROUP = ("Ex",)
+D_GROUP = ("Dreal", "Dco", "Ddist")
+EMA_GROUP = ("E", "G", "Gstru", "Ex")
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Dict[str, Any]
+    ema: Dict[str, Any]
+    opt_g: Any
+    opt_ex: Any
+    opt_d: Any
+
+
+class Trainer:
+    """Owns the model definitions and the compiled train/eval steps."""
+
+    def __init__(self, cfg: TrainConfig, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.models = {
+            "E": init_model("DisentanglementEncoder", cfg),
+            "G": init_model("Generator", cfg),
+            "Gstru": init_model("StructureGenerator", cfg),
+            "Ex": init_model("TensorExtractor", cfg),
+            "Dreal": init_model("ImageLevelDiscriminator", cfg),
+            "Dco": init_model("CooccurenceDiscriminator", cfg),
+            "Ddist": init_model("DistributionDiscriminator", cfg),
+        }
+        # Optimizers (train.py:416-432): Adam(0, 0.99); the D optimizer's
+        # lr/betas are scaled by d_reg_every/(d_reg_every+1) (lazy-reg
+        # correction from StyleGAN2).
+        lr, rr = cfg.lr, cfg.d_reg_every / (cfg.d_reg_every + 1)
+        self.tx_g = optax.adam(lr, b1=0.0, b2=0.99, eps=1e-8)
+        self.tx_ex = optax.adam(lr, b1=0.0, b2=0.99, eps=1e-8)
+        self.tx_d = optax.adam(lr * rr, b1=0.0 ** rr, b2=0.99 ** rr, eps=1e-8)
+        self._step_fns: Dict[bool, Any] = {}
+
+    # -- initialization -----------------------------------------------------
+
+    def init_state(self, key: jax.Array) -> TrainState:
+        cfg = self.cfg
+        res = cfg.image_size // 16
+        ks = jax.random.split(key, 7)
+        x = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+        s = jnp.zeros((1, res, res, cfg.structure_channel), jnp.float32)
+        t = jnp.zeros((1, cfg.texture_channel), jnp.float32)
+        z = jnp.zeros((1, res, res, cfg.N), jnp.float32)
+        ps = cfg.image_size // 4
+        patch = jnp.zeros((1, ps, ps, 3), jnp.float32)
+        refs = jnp.zeros((cfg.ref_crop, ps, ps, 3), jnp.float32)
+
+        @jax.jit
+        def _init(ks):
+            params = {
+                "E": self.models["E"].init(ks[0], x),
+                "G": self.models["G"].init(ks[1], s, t),
+                "Gstru": self.models["Gstru"].init(ks[2], z),
+                "Ex": self.models["Ex"].init(ks[3], s),
+                "Dreal": self.models["Dreal"].init(ks[4], x),
+                "Dco": self.models["Dco"].init(ks[5], patch, refs, cfg.ref_crop),
+                "Ddist": self.models["Ddist"].init(ks[6], t),
+            }
+            # EMA copies start equal to the online weights
+            # (accumulate(..., 0) at train.py:411-414).
+            ema = {k: jax.tree.map(lambda a: a, params[k]) for k in EMA_GROUP}
+            return TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=params,
+                ema=ema,
+                opt_g=self.tx_g.init({k: params[k] for k in G_GROUP}),
+                opt_ex=self.tx_ex.init({k: params[k] for k in EX_GROUP}),
+                opt_d=self.tx_d.init({k: params[k] for k in D_GROUP}),
+            )
+
+        state = _init(ks)
+        if self.mesh is not None:
+            state = parallel.replicate(self.mesh, state)
+        return state
+
+    # -- shared forward pieces ----------------------------------------------
+
+    def _gen_forward(self, params, x, key):
+        """E/G/Gstru forward: the three synthesized images + latents
+        (train.py:56-71 and 143-158)."""
+        cfg = self.cfg
+        kz, kt = jax.random.split(key)
+        s1, t1 = self.models["E"].apply(params["E"], x)
+        b, res = x.shape[0], cfg.image_size // 16
+        z = jax.random.uniform(kz, (b, res, res, cfg.N), jnp.float32, -1.0, 1.0)
+        s2 = self.models["Gstru"].apply(params["Gstru"], z)
+        t2 = jax.random.uniform(kt, t1.shape, jnp.float32, -1.0, 1.0)
+        hx1 = self.models["G"].apply(params["G"], s1, t1)
+        hx2 = self.models["G"].apply(params["G"], s2, t1)
+        hx3 = self.models["G"].apply(params["G"], s2, t2)
+        return dict(s1=s1, t1=t1, z=z, s2=s2, t2=t2, hx1=hx1, hx2=hx2, hx3=hx3)
+
+    # -- the jitted iteration -----------------------------------------------
+
+    def build_train_step(self, do_r1: bool):
+        cfg = self.cfg
+        models = self.models
+
+        def d_loss_fn(d_params, g_params, x, fwd, keys):
+            fake = jnp.concatenate([fwd["hx1"], fwd["hx2"], fwd["hx3"]], axis=0)
+            fake_pred = models["Dreal"].apply(d_params["Dreal"], fake)
+            real_pred = models["Dreal"].apply(d_params["Dreal"], x)
+            d_real = d_logistic_loss(real_pred, fake_pred)
+
+            fake_patch = patchify_image(keys["fp"], fwd["hx2"], cfg.n_crop)
+            real_patch = patchify_image(keys["rp"], x, cfg.n_crop)
+            ref_patch = patchify_image(keys["ref"], x, cfg.ref_crop * cfg.n_crop)
+            fake_tex_pred, ref_input = models["Dco"].apply(
+                d_params["Dco"], fake_patch, ref_patch, cfg.ref_crop
+            )
+            real_tex_pred, _ = models["Dco"].apply(
+                d_params["Dco"], real_patch, ref_input=ref_input
+            )
+            d_texture = d_logistic_loss(real_tex_pred, fake_tex_pred)
+
+            fake_dist = models["Ddist"].apply(d_params["Ddist"], fwd["t1"])
+            real_dist = models["Ddist"].apply(d_params["Ddist"], fwd["t2"])
+            d_dist = d_logistic_loss(real_dist, fake_dist)
+
+            total = d_real + d_texture + d_dist
+            aux = {
+                "D_real_loss": d_real,
+                "D_texture_loss": d_texture,
+                "D_dist_loss": d_dist,
+            }
+            return total, aux
+
+        def r1_loss_fn(d_params, x, t2, keys):
+            # R1 penalties on the real inputs of each critic
+            # (train.py:105-129), using the same patch draws as the D phase.
+            real_r1 = d_r1_penalty(
+                lambda img: models["Dreal"].apply(d_params["Dreal"], img), x
+            )
+            real_patch = patchify_image(keys["rp"], x, cfg.n_crop)
+            ref_patch = patchify_image(keys["ref"], x, cfg.ref_crop * cfg.n_crop)
+
+            def co_critic(p):
+                out, _ = models["Dco"].apply(d_params["Dco"], p, ref_patch, cfg.ref_crop)
+                return out
+
+            tex_r1 = d_r1_penalty(co_critic, real_patch)
+            dist_r1 = d_r1_penalty(
+                lambda t: models["Ddist"].apply(d_params["Ddist"], t), t2
+            )
+            total = (
+                cfg.real_r1 / 3 * real_r1
+                + cfg.texture_r1 / 3 * tex_r1
+                + cfg.dist_r1 / 3 * dist_r1
+            ) * cfg.d_reg_every
+            aux = {
+                "D_real_r1_loss": real_r1,
+                "D_texture_r1_loss": tex_r1,
+                "D_dist_r1_loss": dist_r1,
+            }
+            return total, aux
+
+        def g_loss_fn(ge_params, d_params, x, step, keys):
+            fwd = self._gen_forward(ge_params, x, keys["gen"])
+            g_rec = l1_loss(fwd["hx1"], x)
+
+            fake = jnp.concatenate([fwd["hx1"], fwd["hx2"], fwd["hx3"]], axis=0)
+            fake_pred = models["Dreal"].apply(d_params["Dreal"], fake)
+            g_real = g_nonsaturating_loss(fake_pred)
+
+            fake_dist = models["Ddist"].apply(d_params["Ddist"], fwd["t1"])
+            e_dist = g_nonsaturating_loss(fake_dist)
+
+            fake_patch = patchify_image(keys["fp"], fwd["hx2"], cfg.n_crop)
+            ref_patch = patchify_image(keys["ref"], x, cfg.ref_crop * cfg.n_crop)
+            fake_patch_pred, _ = models["Dco"].apply(
+                d_params["Dco"], fake_patch, ref_patch, cfg.ref_crop
+            )
+            g_texture = g_nonsaturating_loss(fake_patch_pred)
+
+            # Container curriculum (train.py:178-181): hx3 after 80%.
+            use_x3 = step > (0.8 * cfg.num_iters)
+            container = jnp.where(use_x3, fwd["hx3"], fwd["hx2"])
+            s2_hat, _ = models["E"].apply(ge_params["E"], container)
+            e_stru = l1_loss(s2_hat, fwd["s2"])
+
+            z_hat = models["Ex"].apply(ge_params["Ex"], s2_hat)
+            ex_loss = l1_loss(z_hat, fwd["z"])
+
+            loss_g = g_rec + g_texture + 2.0 * g_real
+            loss_e = e_dist + e_stru
+            total = loss_g + loss_e + cfg.lambda_Ex * ex_loss
+            aux = {
+                "G_rec_loss": g_rec,
+                "G_real_loss": g_real,
+                "G_texture_loss": g_texture,
+                "E_dist_loss": e_dist,
+                "E_stru_loss": e_stru,
+                "Ex_loss": ex_loss,
+                "Loss_total": total,
+            }
+            return total, aux
+
+        def train_step(state: TrainState, x, key):
+            metrics = {}
+            keys = {}
+            for i, name in enumerate(("gen_d", "fp_d", "rp_d", "ref_d",
+                                      "gen_g", "fp_g", "ref_g")):
+                keys[name] = jax.random.fold_in(jax.random.fold_in(key, i), 0)
+
+            params = state.params
+            g_params = {k: params[k] for k in G_GROUP + EX_GROUP}
+            d_params = {k: params[k] for k in D_GROUP}
+
+            # ---- D phase (train.py:44-102): generator forward is not
+            # differentiated (grads only w.r.t. d_params).
+            fwd_d = self._gen_forward(params, x, keys["gen_d"])
+            (d_total, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+                d_params, g_params, x,
+                jax.tree.map(jax.lax.stop_gradient, fwd_d),
+                {"fp": keys["fp_d"], "rp": keys["rp_d"], "ref": keys["ref_d"]},
+            )
+            updates, opt_d = self.tx_d.update(d_grads, state.opt_d, d_params)
+            d_params = optax.apply_updates(d_params, updates)
+            metrics.update(d_aux)
+
+            # ---- R1 phase (lazy regularization): second D update with the
+            # refreshed d_params, same patches, same T2.
+            if do_r1:
+                (r1_total, r1_aux), r1_grads = jax.value_and_grad(
+                    r1_loss_fn, has_aux=True
+                )(d_params, x, fwd_d["t2"],
+                  {"rp": keys["rp_d"], "ref": keys["ref_d"]})
+                updates, opt_d = self.tx_d.update(r1_grads, opt_d, d_params)
+                d_params = optax.apply_updates(d_params, updates)
+                metrics.update(r1_aux)
+
+            # ---- G/E/Ex phase (train.py:131-216): fresh forward with fresh
+            # noise, updated D params, one joint backward.
+            ge_params = {k: params[k] for k in G_GROUP + EX_GROUP}
+            (g_total, g_aux), ge_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+                ge_params, d_params, x, state.step,
+                {"gen": keys["gen_g"], "fp": keys["fp_g"], "ref": keys["ref_g"]},
+            )
+            metrics.update(g_aux)
+
+            g_grads = {k: ge_grads[k] for k in G_GROUP}
+            # dLoss_total/dEx == lambda_Ex * dLoss_Ex/dEx -> rescale.
+            ex_grads = {
+                k: jax.tree.map(lambda g: g / cfg.lambda_Ex, ge_grads[k])
+                for k in EX_GROUP
+            }
+            g_sub = {k: ge_params[k] for k in G_GROUP}
+            ex_sub = {k: ge_params[k] for k in EX_GROUP}
+            updates, opt_g = self.tx_g.update(g_grads, state.opt_g, g_sub)
+            g_sub = optax.apply_updates(g_sub, updates)
+            updates, opt_ex = self.tx_ex.update(ex_grads, state.opt_ex, ex_sub)
+            ex_sub = optax.apply_updates(ex_sub, updates)
+
+            new_params = {**d_params, **g_sub, **ex_sub}
+
+            # ---- EMA (train.py:218-221, utils.py:55-60).
+            decay = cfg.ema_decay
+            ema = jax.tree.map(
+                lambda e, p: e * decay + p * (1.0 - decay),
+                state.ema,
+                {k: new_params[k] for k in EMA_GROUP},
+            )
+
+            new_state = state.replace(
+                step=state.step + 1,
+                params=new_params,
+                ema=ema,
+                opt_g=opt_g,
+                opt_ex=opt_ex,
+                opt_d=opt_d,
+            )
+            return new_state, metrics
+
+        return train_step
+
+    def train_step_fn(self, do_r1: bool):
+        if do_r1 not in self._step_fns:
+            fn = jax.jit(self.build_train_step(do_r1), donate_argnums=(0,))
+            self._step_fns[do_r1] = fn
+        return self._step_fns[do_r1]
+
+    # -- hide / reveal (the sampling block, train.py:249-293) ---------------
+
+    def hide(self, state: TrainState, message, texture, key, sigma=1, delta=0.5):
+        """message bits (B, N*res*res) -> stego image, via the EMA nets."""
+        cfg = self.cfg
+        res = cfg.image_size // 16
+        z = message_to_tensor(message, sigma=sigma, delta=delta, key=key)
+        z = z.reshape(message.shape[0], res, res, cfg.N)
+        s2 = self.models["Gstru"].apply(state.ema["Gstru"], z)
+        img = self.models["G"].apply(state.ema["G"], s2, texture)
+        return img, z
+
+    def reveal(self, state: TrainState, image, sigma=1):
+        """stego image -> extracted message bits."""
+        s2_hat, _ = self.models["E"].apply(state.ema["E"], image)
+        z_hat = self.models["Ex"].apply(state.ema["Ex"], s2_hat)
+        msg = tensor_to_message(z_hat.reshape(z_hat.shape[0], -1), sigma=sigma)
+        return msg, z_hat
+
+    def eval_roundtrip(self, state: TrainState, key) -> Dict[str, float]:
+        """The online integration test (train.py:249-293): random message
+        -> hide -> reveal -> ACC."""
+        cfg = self.cfg
+        res = cfg.image_size // 16
+        k1, k2, k3 = jax.random.split(key, 3)
+        b = cfg.batch_size
+        msg = jax.random.bernoulli(k1, 0.5, (b, cfg.N * res * res)).astype(jnp.float32)
+        t2 = jax.random.uniform(k2, (b, cfg.texture_channel), jnp.float32, -1.0, 1.0)
+        img, z = self.hide(state, msg, t2, k3)
+        msg_hat, z_hat = self.reveal(state, img)
+        ber = jnp.mean(jnp.abs(msg - msg_hat))
+        tensor_l1 = jnp.mean(jnp.abs(z_hat.reshape(b, -1) - z.reshape(b, -1)))
+        return {"ACC": 1.0 - ber, "tensor_L1": tensor_l1}

@@ -1,0 +1,23 @@
+"""Test harness: run everything on an 8-device virtual CPU mesh.
+
+Multi-device correctness is tested the JAX-native way (SURVEY.md section 4):
+`xla_force_host_platform_device_count=8` fakes 8 devices on the host CPU,
+so sharding/collective code paths compile and execute without a TPU pod.
+
+jax may already be imported by the interpreter's sitecustomize before this
+module runs, so the platform override goes through `jax.config.update`
+(effective until the first backend initialization) rather than env vars.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
