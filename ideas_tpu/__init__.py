@@ -20,3 +20,24 @@ Package layout:
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: first compiles on the TPU
+    remote-compile relay take minutes; cached reloads take seconds."""
+    import os
+
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "IDEAS_TPU_CACHE", os.path.expanduser("~/.cache/ideas_tpu_xla")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()

@@ -124,7 +124,15 @@ def make_dataset(dataset_type: str, path: str, resolution: int):
 
 def _to_float_batch(imgs: np.ndarray, flip_mask: np.ndarray) -> np.ndarray:
     """uint8 NHWC -> float32 in [-1, 1], with per-sample horizontal flip
-    (RandomHorizontalFlip + Normalize(0.5, 0.5), `train.py:444-451`)."""
+    (RandomHorizontalFlip + Normalize(0.5, 0.5), `train.py:444-451`).
+    Uses the threaded C++ kernel when built (ideas_tpu.native)."""
+    try:
+        from ideas_tpu import native
+
+        if native.available():
+            return native.preprocess_batch(imgs, flip_mask)
+    except Exception:
+        pass
     x = imgs.astype(np.float32) / 127.5 - 1.0
     x[flip_mask] = x[flip_mask, :, ::-1, :]
     return x

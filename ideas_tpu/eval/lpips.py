@@ -1,0 +1,138 @@
+"""LPIPS perceptual distance (the vendored net-lin model of
+`/root/reference/stylegan2/lpips/`): pretrained backbone features,
+unit-normalize per channel, squared difference, learned 1x1 linear heads,
+spatial average, summed over layers (`networks_basic.py:27-92`).
+
+Backbones: VGG16 and AlexNet feature stacks are defined here in flax;
+weights load from converted .npz files (`load_backbone_npz`,
+`load_linear_npz` — no network egress in this environment). Without
+weights the module still runs (random init) for wiring tests.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ImageNet scaling used by LPIPS (lpips/networks_basic.py ScalingLayer).
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+class VGG16Features(nn.Module):
+    """VGG16 conv stack; returns relu1_2..relu5_3 activations."""
+
+    @nn.compact
+    def __call__(self, x) -> List[jnp.ndarray]:
+        cfg = [
+            (64, 2),   # relu1_2
+            (128, 2),  # relu2_2
+            (256, 3),  # relu3_3
+            (512, 3),  # relu4_3
+            (512, 3),  # relu5_3
+        ]
+        feats = []
+        idx = 0
+        for block, (ch, n) in enumerate(cfg):
+            for i in range(n):
+                x = nn.Conv(ch, (3, 3), padding=1, name=f"conv{idx}")(x)
+                x = nn.relu(x)
+                idx += 1
+            feats.append(x)
+            if block < len(cfg) - 1:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return feats
+
+
+class AlexNetFeatures(nn.Module):
+    """AlexNet conv stack; returns the five relu activations."""
+
+    @nn.compact
+    def __call__(self, x) -> List[jnp.ndarray]:
+        feats = []
+        x = nn.Conv(64, (11, 11), strides=4, padding=2, name="conv0")(x)
+        x = nn.relu(x); feats.append(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = nn.Conv(192, (5, 5), padding=2, name="conv1")(x)
+        x = nn.relu(x); feats.append(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = nn.Conv(384, (3, 3), padding=1, name="conv2")(x)
+        x = nn.relu(x); feats.append(x)
+        x = nn.Conv(256, (3, 3), padding=1, name="conv3")(x)
+        x = nn.relu(x); feats.append(x)
+        x = nn.Conv(256, (3, 3), padding=1, name="conv4")(x)
+        x = nn.relu(x); feats.append(x)
+        return feats
+
+
+_CHANNELS = {
+    "vgg": (64, 128, 256, 512, 512),
+    "alex": (64, 192, 384, 256, 256),
+}
+
+
+class LPIPS(nn.Module):
+    """net-lin LPIPS: d(x, y) = sum_l mean_hw w_l . (nx_l - ny_l)^2."""
+
+    net: str = "vgg"
+
+    def setup(self):
+        if self.net == "vgg":
+            self.backbone = VGG16Features(name="backbone")
+        elif self.net == "alex":
+            self.backbone = AlexNetFeatures(name="backbone")
+        else:
+            raise ValueError(self.net)
+        self.lins = [
+            nn.Conv(1, (1, 1), use_bias=False, name=f"lin{i}")
+            for i in range(len(_CHANNELS[self.net]))
+        ]
+
+    def __call__(self, x, y):
+        """x, y: NHWC in [-1, 1]. Returns (B,) distances."""
+        shift = jnp.asarray(_SHIFT)
+        scale = jnp.asarray(_SCALE)
+        xs = (x - shift) / scale
+        ys = (y - shift) / scale
+        fx = self.backbone(xs)
+        fy = self.backbone(ys)
+        total = 0.0
+        for i, (a, b) in enumerate(zip(fx, fy)):
+            na = a * jax.lax.rsqrt(jnp.sum(jnp.square(a), -1, keepdims=True) + 1e-10)
+            nb = b * jax.lax.rsqrt(jnp.sum(jnp.square(b), -1, keepdims=True) + 1e-10)
+            d = jnp.square(na - nb)
+            d = self.lins[i](d)  # learned per-channel weights (>=0 in ckpt)
+            total = total + jnp.mean(d, axis=(1, 2, 3))
+        return total
+
+
+def load_weights_npz(net: str, backbone_path: str, linear_path: str):
+    """Build LPIPS params from converted torch .npz files.
+
+    backbone npz: 'features.<idx>.weight'/'.bias' (torchvision layout,
+    OIHW). linear npz: 'lin<i>.model.1.weight' (lpips net-lin layout).
+    """
+    params: Dict[str, Any] = {"backbone": {}, }
+    raw = dict(np.load(backbone_path))
+    conv_idx = 0
+    # torchvision VGG16 conv layer indices in .features
+    order = sorted(
+        {int(k.split(".")[1]) for k in raw if k.endswith("weight")},
+    )
+    for li in order:
+        w = raw[f"features.{li}.weight"]
+        b = raw[f"features.{li}.bias"]
+        params["backbone"][f"conv{conv_idx}"] = {
+            "kernel": np.transpose(w, (2, 3, 1, 0)),
+            "bias": b,
+        }
+        conv_idx += 1
+    lraw = dict(np.load(linear_path))
+    for i in range(5):
+        w = lraw[f"lin{i}.model.1.weight"]  # (1, C, 1, 1)
+        params[f"lin{i}"] = {"kernel": np.transpose(w, (2, 3, 1, 0))}
+    return {"params": params}

@@ -389,13 +389,15 @@ class ResBlock(nn.Module):
     downsample: bool
     padding: str = "zero"
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    mid_channel: Optional[int] = None  # conv1 width; SG2's D uses in_channel
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         in_channel = x.shape[-1]
         y = ConvLayer(
-            self.out_channel, 3, padding=self.padding, name="conv1", dtype=self.dtype
+            self.mid_channel or self.out_channel, 3, padding=self.padding,
+            name="conv1", dtype=self.dtype,
         )(x)
         y = ConvLayer(
             self.out_channel, 3, downsample=self.downsample, padding=self.padding,

@@ -152,6 +152,12 @@ def _upfirdn1d(x, taps, up, down, pad0, pad1, axis):
     return _depthwise_conv(x, kk, strides=strides, padding=pads, lhs_dilation=dil)
 
 
+def upfirdn1d(x, taps, up=1, down=1, pad=(0, 0), axis=1):
+    """Single-axis upfirdn on an NHWC tensor (axis 1 = H, axis 2 = W)."""
+    t = jnp.asarray(taps).astype(x.dtype)
+    return _upfirdn1d(x, t, up, down, pad[0], pad[1], axis=axis)
+
+
 # ---------------------------------------------------------------------------
 # Convenience wrappers mirroring stylegan2/model.py Blur/Upsample/Downsample.
 # ---------------------------------------------------------------------------

@@ -1,0 +1,258 @@
+"""Convert reference IDEAS PyTorch checkpoints (.pt) into ideas_tpu param
+trees — the migration/parity counterpart of the reference's TF->torch
+`convert_weight.py` (`/root/reference/stylegan2/convert_weight.py`).
+
+Layout translation:
+  torch conv weight        (O, I, kh, kw)    -> HWIO (kh, kw, I, O)
+  torch conv_transpose     (I, O, kh, kw)    -> HWIO (kh, kw, I, O)
+  torch modulated conv     (1, O, I, kh, kw) -> HWIO (kh, kw, I, O)
+  torch linear weight      (out, in)         -> (in, out)
+  FusedLeakyReLU bias      (module .1/.2 of a Sequential ConvLayer)
+                           -> the wrapping flax layer's top-level 'bias'
+
+Usage:
+    python -m ideas_tpu.tools.convert_torch_ckpt --ckpt ref.pt --out conv.npz
+then `load_converted(path)` returns {model_name: flax params}.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Dict
+
+import numpy as np
+
+
+def _conv_w(a):  # torch OIHW -> HWIO
+    return np.transpose(a, (2, 3, 1, 0))
+
+
+def _convT_w(a):  # torch IOHW -> HWIO
+    return np.transpose(a, (2, 3, 0, 1))
+
+
+def _mod_w(a):  # torch (1, O, I, kh, kw) -> HWIO
+    return np.transpose(a[0], (2, 3, 1, 0))
+
+
+def _lin_w(a):  # torch (out, in) -> (in, out)
+    return np.transpose(a, (1, 0))
+
+
+def _conv_layer(sd: Dict[str, np.ndarray], prefix: str, *, pad_module: bool,
+                has_blur: bool, upsample: bool, activate_bias: bool,
+                conv_bias: bool = False) -> dict:
+    """Translate one reference ConvLayer (an nn.Sequential whose indices
+    depend on padding/blur composition, `models.py:49-134`)."""
+    idx = 0
+    if has_blur and not upsample:
+        idx += 1  # Blur before conv on the downsample path
+    if pad_module:
+        idx += 1  # ReflectionPad2d
+    w = sd[f"{prefix}.{idx}.weight"]
+    out = {"conv": {"weight": _convT_w(w) if upsample else _conv_w(w)}}
+    if conv_bias:
+        out["conv"]["bias"] = sd[f"{prefix}.{idx}.bias"]
+    act_idx = idx + 1 + (1 if upsample else 0)  # Blur after conv when up
+    if activate_bias:
+        out["bias"] = sd[f"{prefix}.{act_idx}.bias"]
+    return out
+
+
+def _res_block(sd, prefix, *, padding: str, downsample: bool) -> dict:
+    reflect = padding == "reflect"
+    out = {
+        "conv1": _conv_layer(sd, f"{prefix}.conv1", pad_module=reflect,
+                             has_blur=False, upsample=False, activate_bias=True),
+        "conv2": _conv_layer(sd, f"{prefix}.conv2", pad_module=reflect and not downsample,
+                             has_blur=downsample, upsample=False,
+                             activate_bias=True),
+    }
+    if any(k.startswith(f"{prefix}.skip.") for k in sd):
+        out["skip"] = _conv_layer(sd, f"{prefix}.skip", pad_module=False,
+                                  has_blur=downsample, upsample=False,
+                                  activate_bias=False)
+    return out
+
+
+def _equal_linear(sd, prefix) -> dict:
+    out = {"weight": _lin_w(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def _styled_conv(sd, prefix) -> dict:
+    return {
+        "conv": {
+            "weight": _mod_w(sd[f"{prefix}.conv.weight"]),
+            "modulation": _equal_linear(sd, f"{prefix}.conv.modulation"),
+        },
+        "bias": sd[f"{prefix}.activate.bias"],
+    }
+
+
+def convert_encoder(sd) -> dict:
+    p = {"stem0": _conv_layer(sd, "stem.0", pad_module=False, has_blur=False,
+                              upsample=False, activate_bias=True)}
+    for i in range(1, 5):
+        p[f"stem{i}"] = _res_block(sd, f"stem.{i}", padding="reflect",
+                                   downsample=True)
+    p["structure0"] = _conv_layer(sd, "structure.0", pad_module=False,
+                                  has_blur=False, upsample=False,
+                                  activate_bias=True)
+    p["structure1"] = _conv_layer(sd, "structure.1", pad_module=False,
+                                  has_blur=False, upsample=False,
+                                  activate_bias=True)
+    p["texture0"] = _conv_layer(sd, "texture.0", pad_module=False,
+                                has_blur=True, upsample=False,
+                                activate_bias=True)
+    p["texture1"] = _conv_layer(sd, "texture.1", pad_module=False,
+                                has_blur=True, upsample=False,
+                                activate_bias=True)
+    # tanh head: conv only, no biases anywhere (bias gated by `not activate`)
+    p["texture2"] = {"conv": {"weight": _conv_w(sd["texture.3.0.weight"])}}
+    return p
+
+
+def convert_generator(sd) -> dict:
+    p = {}
+    for i in range(8):
+        pre = f"layers.{i}"
+        blk = {
+            "conv1": _styled_conv(sd, f"{pre}.conv1"),
+            "conv2": _styled_conv(sd, f"{pre}.conv2"),
+        }
+        if any(k.startswith(f"{pre}.skip.") for k in sd):
+            # upsampling skip = [EqualConvTranspose2d, Blur]; the Blur's
+            # FIR kernel buffer at index 1 identifies it.
+            upsample = f"{pre}.skip.1.kernel" in sd
+            blk["skip"] = _conv_layer(
+                sd, f"{pre}.skip", pad_module=False,
+                has_blur=False, upsample=upsample, activate_bias=False,
+            )
+        p[f"layer{i}"] = blk
+    p["to_rgb"] = _conv_layer(sd, "to_rgb", pad_module=False, has_blur=False,
+                              upsample=False, activate_bias=False,
+                              conv_bias=True)
+    return p
+
+
+def convert_structure_generator(sd) -> dict:
+    p = {"stem0": _conv_layer(sd, "structure.0", pad_module=False,
+                              has_blur=False, upsample=False,
+                              activate_bias=True)}
+    for i in (1, 2, 3):
+        p[f"stem{i}"] = _res_block(sd, f"structure.{i}", padding="reflect",
+                                   downsample=False)
+    p["stem4"] = _conv_layer(sd, "structure.4", pad_module=False,
+                             has_blur=False, upsample=False,
+                             activate_bias=True)
+    return p
+
+
+def convert_extractor(sd) -> dict:
+    p = {"stem0": _conv_layer(sd, "extract.0", pad_module=False,
+                              has_blur=False, upsample=False,
+                              activate_bias=True)}
+    for i in (1, 2, 3):
+        p[f"stem{i}"] = _res_block(sd, f"extract.{i}", padding="reflect",
+                                   downsample=False)
+    p["stem4"] = _conv_layer(sd, "extract.4", pad_module=False,
+                             has_blur=False, upsample=False,
+                             activate_bias=True)
+    return p
+
+
+def convert_dreal(sd, n_res: int) -> dict:
+    p = {"conv0": _conv_layer(sd, "convs.0", pad_module=False, has_blur=False,
+                              upsample=False, activate_bias=True)}
+    for j in range(n_res):
+        p[f"res{j}"] = _res_block(sd, f"convs.{j + 1}", padding="zero",
+                                  downsample=True)
+    p["final_conv"] = _conv_layer(sd, "final_conv", pad_module=False,
+                                  has_blur=False, upsample=False,
+                                  activate_bias=True)
+    p["final_linear0"] = _equal_linear(sd, "final_linear.0")
+    p["final_linear1"] = _equal_linear(sd, "final_linear.1")
+    return p
+
+
+def convert_dco(sd) -> dict:
+    p = {"enc0": _conv_layer(sd, "encoder.0", pad_module=False, has_blur=False,
+                             upsample=False, activate_bias=True)}
+    downs = (True, True, True, True, True, False)
+    for i, down in enumerate(downs):
+        p[f"enc{i + 1}"] = _res_block(sd, f"encoder.{i + 1}", padding="zero",
+                                      downsample=down)
+    p["enc_final"] = _conv_layer(sd, "encoder.7", pad_module=False,
+                                 has_blur=False, upsample=False,
+                                 activate_bias=True)
+    for i in range(4):
+        p[f"lin{i}"] = _equal_linear(sd, f"linear.{i}")
+    return p
+
+
+def convert_ddist(sd) -> dict:
+    return {f"lin{i}": _equal_linear(sd, f"model.{i}") for i in range(4)}
+
+
+CONVERTERS = {
+    "E": convert_encoder,
+    "E_ema": convert_encoder,
+    "G": convert_generator,
+    "G_ema": convert_generator,
+    "Gstru": convert_structure_generator,
+    "Gstru_ema": convert_structure_generator,
+    "Ex": convert_extractor,
+    "Ex_ema": convert_extractor,
+    "Dco": convert_dco,
+    "Ddist": convert_ddist,
+}
+
+
+def convert_checkpoint(path: str, image_size: int = 256) -> Dict[str, dict]:
+    """Load a reference train.py checkpoint and convert all model slots."""
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=True)
+    trainer = raw["trainer"]
+    out: Dict[str, dict] = {}
+    import math
+
+    n_res = int(math.log2(image_size)) - 2
+    for name, sd_t in trainer.items():
+        if name.endswith("optim"):
+            continue
+        sd = {k: v.numpy() for k, v in sd_t.items()}
+        if name == "Dreal":
+            out[name] = {"params": convert_dreal(sd, n_res)}
+        elif name in CONVERTERS:
+            out[name] = {"params": CONVERTERS[name](sd)}
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--out", required=True)
+    a = p.parse_args(argv)
+    converted = convert_checkpoint(a.ckpt, a.image_size)
+    flat = {}
+
+    def flatten(tree, prefix):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                flatten(v, f"{prefix}{k}/")
+            else:
+                flat[f"{prefix}{k}"] = v
+
+    for model, tree in converted.items():
+        flatten(tree, f"{model}/")
+    np.savez(a.out, **flat)
+    print(f"wrote {len(flat)} arrays to {a.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -332,42 +332,114 @@ class Trainer:
 
         return train_step
 
-    def train_step_fn(self, do_r1: bool):
-        if do_r1 not in self._step_fns:
-            fn = jax.jit(self.build_train_step(do_r1), donate_argnums=(0,))
-            self._step_fns[do_r1] = fn
-        return self._step_fns[do_r1]
+    def train_step_fn(self, do_r1: bool, donate: bool = False):
+        """Compiled step. `donate=True` donates the input state's buffers
+        (halves peak memory in the production loop; leave False when the
+        caller still needs the old state, e.g. tests)."""
+        cache_key = (do_r1, donate)
+        if cache_key not in self._step_fns:
+            fn = jax.jit(
+                self.build_train_step(do_r1),
+                donate_argnums=(0,) if donate else (),
+            )
+            self._step_fns[cache_key] = fn
+        return self._step_fns[cache_key]
 
     # -- hide / reveal (the sampling block, train.py:249-293) ---------------
+    # All inference paths are jitted (cached per static (sigma, delta)):
+    # eager per-op dispatch is pathologically slow on remote-compile TPU
+    # backends, and these are the production serving paths.
 
-    def hide(self, state: TrainState, message, texture, key, sigma=1, delta=0.5):
-        """message bits (B, N*res*res) -> stego image, via the EMA nets."""
+    def _hide_fn(self, sigma: int, delta: float):
         cfg = self.cfg
         res = cfg.image_size // 16
-        z = message_to_tensor(message, sigma=sigma, delta=delta, key=key)
-        z = z.reshape(message.shape[0], res, res, cfg.N)
-        s2 = self.models["Gstru"].apply(state.ema["Gstru"], z)
-        img = self.models["G"].apply(state.ema["G"], s2, texture)
-        return img, z
+
+        @jax.jit
+        def fn(ema, message, texture, key):
+            z = message_to_tensor(message, sigma=sigma, delta=delta, key=key)
+            z = z.reshape(message.shape[0], res, res, cfg.N)
+            s2 = self.models["Gstru"].apply(ema["Gstru"], z)
+            img = self.models["G"].apply(ema["G"], s2, texture)
+            return img, z
+
+        key = ("hide", sigma, delta)
+        if key not in self._step_fns:
+            self._step_fns[key] = fn
+        return self._step_fns[key]
+
+    def _reveal_fn(self, sigma: int):
+        @jax.jit
+        def fn(ema, image):
+            s2_hat, _ = self.models["E"].apply(ema["E"], image)
+            z_hat = self.models["Ex"].apply(ema["Ex"], s2_hat)
+            msg = tensor_to_message(z_hat.reshape(z_hat.shape[0], -1), sigma=sigma)
+            return msg, z_hat
+
+        key = ("reveal", sigma)
+        if key not in self._step_fns:
+            self._step_fns[key] = fn
+        return self._step_fns[key]
+
+    def hide(self, state: TrainState, message, texture, key, sigma=1, delta=0.5):
+        """message bits (B, N*res*res*sigma) -> stego image, via EMA nets."""
+        return self._hide_fn(sigma, delta)(state.ema, message, texture, key)
 
     def reveal(self, state: TrainState, image, sigma=1):
         """stego image -> extracted message bits."""
-        s2_hat, _ = self.models["E"].apply(state.ema["E"], image)
-        z_hat = self.models["Ex"].apply(state.ema["Ex"], s2_hat)
-        msg = tensor_to_message(z_hat.reshape(z_hat.shape[0], -1), sigma=sigma)
-        return msg, z_hat
+        return self._reveal_fn(sigma)(state.ema, image)
 
     def eval_roundtrip(self, state: TrainState, key) -> Dict[str, float]:
         """The online integration test (train.py:249-293): random message
-        -> hide -> reveal -> ACC."""
+        -> hide -> reveal -> ACC. One jitted program."""
         cfg = self.cfg
         res = cfg.image_size // 16
-        k1, k2, k3 = jax.random.split(key, 3)
-        b = cfg.batch_size
-        msg = jax.random.bernoulli(k1, 0.5, (b, cfg.N * res * res)).astype(jnp.float32)
-        t2 = jax.random.uniform(k2, (b, cfg.texture_channel), jnp.float32, -1.0, 1.0)
-        img, z = self.hide(state, msg, t2, k3)
-        msg_hat, z_hat = self.reveal(state, img)
-        ber = jnp.mean(jnp.abs(msg - msg_hat))
-        tensor_l1 = jnp.mean(jnp.abs(z_hat.reshape(b, -1) - z.reshape(b, -1)))
-        return {"ACC": 1.0 - ber, "tensor_L1": tensor_l1}
+
+        if "eval_rt" not in self._step_fns:
+
+            @jax.jit
+            def fn(ema, key):
+                k1, k2, k3 = jax.random.split(key, 3)
+                b = cfg.batch_size
+                msg = jax.random.bernoulli(
+                    k1, 0.5, (b, cfg.N * res * res)
+                ).astype(jnp.float32)
+                t2 = jax.random.uniform(
+                    k2, (b, cfg.texture_channel), jnp.float32, -1.0, 1.0
+                )
+                z = message_to_tensor(msg, sigma=1, delta=0.5, key=k3)
+                z = z.reshape(b, res, res, cfg.N)
+                s2 = self.models["Gstru"].apply(ema["Gstru"], z)
+                img = self.models["G"].apply(ema["G"], s2, t2)
+                s2_hat, _ = self.models["E"].apply(ema["E"], img)
+                z_hat = self.models["Ex"].apply(ema["Ex"], s2_hat)
+                msg_hat = tensor_to_message(z_hat.reshape(b, -1), sigma=1)
+                ber = jnp.mean(jnp.abs(msg - msg_hat))
+                tensor_l1 = jnp.mean(jnp.abs(z_hat - z))
+                return {"ACC": 1.0 - ber, "tensor_L1": tensor_l1}
+
+            self._step_fns["eval_rt"] = fn
+        return self._step_fns["eval_rt"](state.ema, key)
+
+    def sample_images(self, state: TrainState, x, key):
+        """EMA sample grid rows (X1_hat, X2_hat, X3_hat) for monitoring
+        (train.py:249-268). Jitted once."""
+        cfg = self.cfg
+        res = cfg.image_size // 16
+
+        if "sample" not in self._step_fns:
+
+            @jax.jit
+            def fn(ema, x, key):
+                k1, k2 = jax.random.split(key)
+                b = x.shape[0]
+                s1, t1 = self.models["E"].apply(ema["E"], x)
+                z = jax.random.uniform(k1, (b, res, res, cfg.N), jnp.float32, -1, 1)
+                s2 = self.models["Gstru"].apply(ema["Gstru"], z)
+                t2 = jax.random.uniform(k2, t1.shape, jnp.float32, -1, 1)
+                hx1 = self.models["G"].apply(ema["G"], s1, t1)
+                hx2 = self.models["G"].apply(ema["G"], s2, t1)
+                hx3 = self.models["G"].apply(ema["G"], s2, t2)
+                return hx1, hx2, hx3
+
+            self._step_fns["sample"] = fn
+        return self._step_fns["sample"](state.ema, x, key)
