@@ -52,15 +52,22 @@ def main():
     step_r1 = trainer.train_step_fn(do_r1=True, donate=True)
     key = jax.random.PRNGKey(1)
 
+    def sync(m):
+        # device_get of a scalar forces execution of the whole chained
+        # program graph; block_until_ready alone is unreliable on
+        # remote-dispatch backends.
+        return float(jax.device_get(m["Loss_total"]))
+
     # Warmup/compile both variants.
     for i in range(2):
         key, sub = jax.random.split(key)
         state, m = step_plain(state, x, sub)
     key, sub = jax.random.split(key)
     state, m = step_r1(state, x, sub)
-    jax.block_until_ready(m)
+    sync(m)
 
     # Timed: amortized 16-iter cadence (15 plain + 1 R1 per cycle).
+    # Steps chain through `state`, so the final fetch forces all of them.
     t0 = time.time()
     n = 0
     for i in range(iters):
@@ -68,7 +75,7 @@ def main():
         fn = step_r1 if (i + 1) % cfg.d_reg_every == 0 else step_plain
         state, m = fn(state, x, sub)
         n += batch
-    jax.block_until_ready(m)
+    sync(m)
     dt = time.time() - t0
 
     imgs_per_sec = n / dt

@@ -89,6 +89,32 @@ class LMDBImageDataset:
             return np.asarray(im, np.uint8)
 
 
+class MultiResolutionLMDBDataset:
+    """StyleGAN2-style multi-resolution LMDB (`stylegan2/dataset.py`):
+    keys `f'{resolution}-{idx:05d}'`, length under key b'length'."""
+
+    def __init__(self, path: str, resolution: int):
+        from ideas_tpu.data.lmdb_reader import LMDBReader
+
+        self.resolution = resolution
+        self.db = LMDBReader(path)
+        length = self.db.get(b"length")
+        if length is None:
+            raise ValueError(f"{path} has no 'length' key (not an SG2 lmdb)")
+        self.length = int(length.decode())
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        from PIL import Image
+
+        key = f"{self.resolution}-{idx:05d}".encode()
+        raw = self.db.get(key)
+        with Image.open(io.BytesIO(raw)) as im:
+            return np.asarray(im.convert("RGB"), np.uint8)
+
+
 class SyntheticDataset:
     """Deterministic procedural RGB images (tests and benchmarks)."""
 
@@ -117,6 +143,8 @@ def make_dataset(dataset_type: str, path: str, resolution: int):
         return FolderDataset(path, resolution)
     if dataset_type == "lmdb":
         return LMDBImageDataset(path, resolution)
+    if dataset_type == "lmdb_multires":
+        return MultiResolutionLMDBDataset(path, resolution)
     if dataset_type == "synthetic":
         return SyntheticDataset(resolution)
     raise ValueError(f"unknown dataset_type {dataset_type!r}")

@@ -56,15 +56,17 @@ def fid_from_stats(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     jitter when sqrtm is singular."""
     import scipy.linalg
 
+    def _sqrtm(m):
+        out = scipy.linalg.sqrtm(m)  # scipy >= 1.16 drops the disp flag
+        return out[0] if isinstance(out, tuple) else out
+
     mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
     sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
     diff = mu1 - mu2
-    cov_sqrt, _ = scipy.linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    cov_sqrt = _sqrtm(sigma1 @ sigma2)
     if not np.isfinite(cov_sqrt).all():
         offset = np.eye(sigma1.shape[0]) * eps
-        cov_sqrt, _ = scipy.linalg.sqrtm(
-            (sigma1 + offset) @ (sigma2 + offset), disp=False
-        )
+        cov_sqrt = _sqrtm((sigma1 + offset) @ (sigma2 + offset))
     if np.iscomplexobj(cov_sqrt):
         if not np.allclose(np.diagonal(cov_sqrt).imag, 0, atol=1e-3):
             raise ValueError("sqrtm has large imaginary component")

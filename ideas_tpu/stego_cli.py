@@ -32,7 +32,7 @@ def _load_trainer(a):
     from ideas_tpu.train import Trainer
 
     cfg = TrainConfig(image_size=a.size, channel=a.channel, N=a.N,
-                      batch_size=a.batch)
+                      texture_channel=a.texture_channel, batch_size=a.batch)
     trainer = Trainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
     state = CheckpointManager(a.ckpt_dir).restore(state)
@@ -119,6 +119,7 @@ def main(argv=None):
         ps.add_argument("--ckpt-dir", required=True)
         ps.add_argument("--size", type=int, default=256)
         ps.add_argument("--channel", type=int, default=32)
+        ps.add_argument("--texture_channel", type=int, default=2048)
         ps.add_argument("--N", type=int, default=1)
         ps.add_argument("--batch", type=int, default=8)
         ps.add_argument("--sigma", type=int, default=1)

@@ -50,6 +50,8 @@ def parse_args(argv=None) -> TrainConfig:
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     p.add_argument("--platform", type=str, default=None,
                    help="force a JAX platform (e.g. cpu) before backend init")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of iters 10-15 here")
     a = p.parse_args(argv)
     if a.platform:
         import jax
@@ -60,6 +62,7 @@ def parse_args(argv=None) -> TrainConfig:
     cfg = TrainConfig(**kw)
     if a.bf16:
         cfg = cfg.replace(compute_dtype=jnp.bfloat16)
+    cfg.profile_dir = a.profile_dir  # transient, not part of the dataclass
     return cfg
 
 
@@ -108,23 +111,34 @@ def main(cfg: TrainConfig) -> None:
     step_r1 = trainer.train_step_fn(do_r1=True, donate=True)
     key = jax.random.PRNGKey(cfg.seed + 1)
 
+    profile_dir = getattr(cfg, "profile_dir", None)
     start_time = time.time()
+    window_t0, window_imgs = start_time, 0
     metrics = {}
     for idx in range(1, cfg.num_iters + 1):
         iter_idx = idx + start_iter
         if iter_idx > cfg.num_iters:
             log("Done!")
             break
+        if profile_dir and idx == 10:
+            jax.profiler.start_trace(profile_dir)
         x = parallel.shard_batch(mesh, next(loader))
         key, sub = jax.random.split(key)
         fn = step_r1 if iter_idx % cfg.d_reg_every == 0 else step_plain
         state, metrics = fn(state, x, sub)
+        window_imgs += cfg.batch_size
+        if profile_dir and idx == 15:
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
+            log(f"profiler trace written to {profile_dir}")
 
         if iter_idx % cfg.log_every == 0:
             m = {k: float(v) for k, v in jax.device_get(metrics).items()}
             now = time.time()
             used = now - start_time
             rest = used / idx * (cfg.num_iters - iter_idx)
+            ips = window_imgs / max(now - window_t0, 1e-9)
+            window_t0, window_imgs = now, 0
             log(
                 f"[{iter_idx:07d}/{cfg.num_iters:07d}] "
                 f"Total: {m['Loss_total']:.4f}; "
@@ -134,6 +148,7 @@ def main(cfg: TrainConfig) -> None:
                 f"E,dist: {m['E_dist_loss']:.4f}; "
                 f"E,stru: {m['E_stru_loss']:.4f}; "
                 f"Ex: {m['Ex_loss']:.4f} "
+                f"({ips:.1f} imgs/s) "
                 f"used time: {time_change(used)}; "
                 f"rest time: {time_change(rest)}"
             )
