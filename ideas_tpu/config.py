@@ -45,6 +45,7 @@ class TrainConfig:
     # TPU-native knobs (not in the reference).
     seed: int = 0
     compute_dtype: Any = jnp.float32  # jnp.bfloat16 for mixed precision
+    remat: bool = False  # rematerialize generator blocks (memory for FLOPs)
     num_data_devices: int = 0  # 0 = use all visible devices (data parallel)
     experiments_dir: str = "experiments"
     ema_halflife_kimg: float = 10.0  # accum = 0.5 ** (32/(10*1000)), train.py:30

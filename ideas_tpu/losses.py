@@ -52,37 +52,48 @@ def l1_loss(a, b):
 # ---------------------------------------------------------------------------
 
 
-def _bilinear_resize_crop(img, c_y, c_x, c_h, c_w, target_h, target_w):
-    """Crop img[(c_y:c_y+c_h, c_x:c_x+c_w)] and bilinear-resize to target.
+def _interp_matrix(c0, clen, target, limit):
+    """Dense (target, limit) bilinear interpolation matrix for one crop.
 
-    Matches `F.interpolate(mode='bilinear', align_corners=False)` on the
-    crop: source coordinate = (dst + 0.5) * crop/target - 0.5, clamped to
-    the crop borders. img: (B, H, W, C); c_* are traced scalars.
-    Separable: gather+lerp rows, then columns.
+    Row t holds the two lerp weights of source coordinate
+    (t + 0.5) * clen/target - 0.5 + c0 (F.interpolate align_corners=False
+    semantics, clamped to the crop borders). Dense-matrix resampling maps
+    the crop-resize onto the MXU — on TPU this is ~30x faster than the
+    equivalent per-crop gather chain.
+    """
+    t = jnp.arange(target, dtype=jnp.float32)
+    src = (t + 0.5) * (clen.astype(jnp.float32) / target) - 0.5
+    src = jnp.clip(src, 0.0, clen.astype(jnp.float32) - 1.0)
+    i0 = jnp.floor(src)
+    frac = src - i0
+    i0 = i0.astype(jnp.int32) + c0
+    i1 = jnp.minimum(i0 + 1, c0 + clen - 1)
+    cols = jnp.arange(limit, dtype=jnp.int32)[None, :]
+    m0 = (cols == i0[:, None]).astype(jnp.float32) * (1.0 - frac)[:, None]
+    m1 = (cols == i1[:, None]).astype(jnp.float32) * frac[:, None]
+    return m0 + m1  # (target, limit)
+
+
+def _bilinear_resize_crop(img, c_y, c_x, c_h, c_w, target_h, target_w):
+    """Crop img[(c_y:c_y+c_h, c_x:c_x+c_w)] and bilinear-resize to target
+    via two dense interpolation matmuls. img: (B, H, W, C).
+
+    Layout note: RGB tensors waste 125/128 vector lanes in NHWC; folding
+    (W, C) into one minor axis keeps both matmuls lane-dense. The column
+    resample then uses kron(Mx, I_C), still a single MXU matmul.
     """
     b, h, w, c = img.shape
-
-    def axis_coords(c0, clen, target, limit):
-        t = jnp.arange(target, dtype=jnp.float32)
-        src = (t + 0.5) * (clen.astype(jnp.float32) / target) - 0.5
-        src = jnp.clip(src, 0.0, clen.astype(jnp.float32) - 1.0)
-        i0 = jnp.floor(src)
-        frac = src - i0
-        i0 = i0.astype(jnp.int32) + c0
-        i1 = jnp.minimum(i0 + 1, c0 + clen - 1)
-        i0 = jnp.clip(i0, 0, limit - 1)
-        i1 = jnp.clip(i1, 0, limit - 1)
-        return i0, i1, frac
-
-    y0, y1, fy = axis_coords(c_y, c_h, target_h, h)
-    x0, x1, fx = axis_coords(c_x, c_w, target_w, w)
-
-    rows0 = jnp.take(img, y0, axis=1)
-    rows1 = jnp.take(img, y1, axis=1)
-    rows = rows0 + (rows1 - rows0) * fy[None, :, None, None].astype(img.dtype)
-    cols0 = jnp.take(rows, x0, axis=2)
-    cols1 = jnp.take(rows, x1, axis=2)
-    return cols0 + (cols1 - cols0) * fx[None, None, :, None].astype(img.dtype)
+    my = _interp_matrix(c_y, c_h, target_h, h).astype(img.dtype)  # (th, H)
+    mx = _interp_matrix(c_x, c_w, target_w, w).astype(img.dtype)  # (tw, W)
+    xf = img.reshape(b, h, w * c)
+    rows = jnp.einsum("th,bhm->btm", my, xf)  # (b, th, W*C)
+    # kron(mx, I_C): (tw*C, W*C)
+    eye = jnp.eye(c, dtype=img.dtype)
+    mx_int = (mx[:, None, :, None] * eye[None, :, None, :]).reshape(
+        target_w * c, w * c
+    )
+    out = jnp.einsum("sm,btm->bts", mx_int, rows)  # (b, th, tw*C)
+    return out.reshape(b, target_h, target_w, c)
 
 
 def patchify_image(key, img, n_crop, min_size=1 / 8, max_size=1 / 4):

@@ -93,6 +93,7 @@ class Generator(nn.Module):
     structure_channel: int = 8
     texture_channel: int = 2048
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    remat: bool = False  # rematerialize blocks: trade FLOPs for HBM
     dtype: Dtype = jnp.float32
 
     ch_multiplier: Sequence[int] = (4, 8, 12, 16, 16, 16, 8, 4)
@@ -100,9 +101,10 @@ class Generator(nn.Module):
 
     @nn.compact
     def __call__(self, structure, texture):
+        block_cls = nn.remat(StyledResBlock) if self.remat else StyledResBlock
         y = structure
         for i, (mul, up) in enumerate(zip(self.ch_multiplier, self.upsample)):
-            y = StyledResBlock(
+            y = block_cls(
                 self.channel * mul, upsample=up, blur_kernel=self.blur_kernel,
                 name=f"layer{i}", dtype=self.dtype,
             )(y, texture)
@@ -318,6 +320,7 @@ def init_model(name: str, args) -> nn.Module:
             structure_channel=args.structure_channel,
             texture_channel=args.texture_channel,
             blur_kernel=tuple(args.blur_kernel),
+            remat=bool(getattr(args, "remat", False)),
             dtype=dtype,
         )
     if name == "StructureGenerator":

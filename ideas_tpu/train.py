@@ -136,7 +136,12 @@ class Trainer:
 
     def _gen_forward(self, params, x, key):
         """E/G/Gstru forward: the three synthesized images + latents
-        (train.py:56-71 and 143-158)."""
+        (train.py:56-71 and 143-158).
+
+        TPU note: the reference runs G three times (X1=G(S1,T1),
+        X2=G(S2,T1), X3=G(S2,T2)); modulated convs take per-sample
+        styles, so the three calls fuse into ONE batched G forward on a
+        3B batch — identical math, 3x larger convs for the MXU."""
         cfg = self.cfg
         kz, kt = jax.random.split(key)
         s1, t1 = self.models["E"].apply(params["E"], x)
@@ -144,10 +149,12 @@ class Trainer:
         z = jax.random.uniform(kz, (b, res, res, cfg.N), jnp.float32, -1.0, 1.0)
         s2 = self.models["Gstru"].apply(params["Gstru"], z)
         t2 = jax.random.uniform(kt, t1.shape, jnp.float32, -1.0, 1.0)
-        hx1 = self.models["G"].apply(params["G"], s1, t1)
-        hx2 = self.models["G"].apply(params["G"], s2, t1)
-        hx3 = self.models["G"].apply(params["G"], s2, t2)
-        return dict(s1=s1, t1=t1, z=z, s2=s2, t2=t2, hx1=hx1, hx2=hx2, hx3=hx3)
+        s_cat = jnp.concatenate([s1, s2, s2], axis=0)
+        t_cat = jnp.concatenate([t1, t1, t2], axis=0)
+        hx = self.models["G"].apply(params["G"], s_cat, t_cat)
+        hx1, hx2, hx3 = jnp.split(hx, 3, axis=0)
+        return dict(s1=s1, t1=t1, z=z, s2=s2, t2=t2,
+                    hx1=hx1, hx2=hx2, hx3=hx3, hx_cat=hx)
 
     # -- the jitted iteration -----------------------------------------------
 
@@ -156,8 +163,7 @@ class Trainer:
         models = self.models
 
         def d_loss_fn(d_params, g_params, x, fwd, keys):
-            fake = jnp.concatenate([fwd["hx1"], fwd["hx2"], fwd["hx3"]], axis=0)
-            fake_pred = models["Dreal"].apply(d_params["Dreal"], fake)
+            fake_pred = models["Dreal"].apply(d_params["Dreal"], fwd["hx_cat"])
             real_pred = models["Dreal"].apply(d_params["Dreal"], x)
             d_real = d_logistic_loss(real_pred, fake_pred)
 
@@ -217,8 +223,7 @@ class Trainer:
             fwd = self._gen_forward(ge_params, x, keys["gen"])
             g_rec = l1_loss(fwd["hx1"], x)
 
-            fake = jnp.concatenate([fwd["hx1"], fwd["hx2"], fwd["hx3"]], axis=0)
-            fake_pred = models["Dreal"].apply(d_params["Dreal"], fake)
+            fake_pred = models["Dreal"].apply(d_params["Dreal"], fwd["hx_cat"])
             g_real = g_nonsaturating_loss(fake_pred)
 
             fake_dist = models["Ddist"].apply(d_params["Ddist"], fwd["t1"])
@@ -436,10 +441,12 @@ class Trainer:
                 z = jax.random.uniform(k1, (b, res, res, cfg.N), jnp.float32, -1, 1)
                 s2 = self.models["Gstru"].apply(ema["Gstru"], z)
                 t2 = jax.random.uniform(k2, t1.shape, jnp.float32, -1, 1)
-                hx1 = self.models["G"].apply(ema["G"], s1, t1)
-                hx2 = self.models["G"].apply(ema["G"], s2, t1)
-                hx3 = self.models["G"].apply(ema["G"], s2, t2)
-                return hx1, hx2, hx3
+                hx = self.models["G"].apply(
+                    ema["G"],
+                    jnp.concatenate([s1, s2, s2], axis=0),
+                    jnp.concatenate([t1, t1, t2], axis=0),
+                )
+                return tuple(jnp.split(hx, 3, axis=0))
 
             self._step_fns["sample"] = fn
         return self._step_fns["sample"](state.ema, x, key)
