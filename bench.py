@@ -50,7 +50,6 @@ def main():
     )
     step_plain = trainer.train_step_fn(do_r1=False, donate=True)
     step_r1 = trainer.train_step_fn(do_r1=True, donate=True)
-    key = jax.random.PRNGKey(1)
 
     def sync(m):
         # device_get of a scalar forces execution of the whole chained
@@ -60,20 +59,18 @@ def main():
 
     # Warmup/compile both variants.
     for i in range(2):
-        key, sub = jax.random.split(key)
-        state, m = step_plain(state, x, sub)
-    key, sub = jax.random.split(key)
-    state, m = step_r1(state, x, sub)
+        state, m = step_plain(state, x)
+    state, m = step_r1(state, x)
     sync(m)
 
     # Timed: amortized 16-iter cadence (15 plain + 1 R1 per cycle).
-    # Steps chain through `state`, so the final fetch forces all of them.
+    # Steps chain through `state`, so the final fetch forces all of them;
+    # RNG evolves inside the compiled step (no host RNG round trips).
     t0 = time.time()
     n = 0
     for i in range(iters):
-        key, sub = jax.random.split(key)
         fn = step_r1 if (i + 1) % cfg.d_reg_every == 0 else step_plain
-        state, m = fn(state, x, sub)
+        state, m = fn(state, x)
         n += batch
     sync(m)
     dt = time.time() - t0

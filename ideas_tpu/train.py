@@ -59,6 +59,8 @@ EMA_GROUP = ("E", "G", "Gstru", "Ex")
 
 class TrainState(flax.struct.PyTreeNode):
     step: jnp.ndarray
+    rng: jax.Array  # evolves inside the jitted step (host RNG calls are
+    #                 eager device ops — expensive on remote backends)
     params: Dict[str, Any]
     ema: Dict[str, Any]
     opt_g: Any
@@ -95,7 +97,7 @@ class Trainer:
     def init_state(self, key: jax.Array) -> TrainState:
         cfg = self.cfg
         res = cfg.image_size // 16
-        ks = jax.random.split(key, 7)
+        ks = jax.random.split(key, 8)
         x = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
         s = jnp.zeros((1, res, res, cfg.structure_channel), jnp.float32)
         t = jnp.zeros((1, cfg.texture_channel), jnp.float32)
@@ -120,6 +122,7 @@ class Trainer:
             ema = {k: jax.tree.map(lambda a: a, params[k]) for k in EMA_GROUP}
             return TrainState(
                 step=jnp.zeros((), jnp.int32),
+                rng=ks[7],
                 params=params,
                 ema=ema,
                 opt_g=self.tx_g.init({k: params[k] for k in G_GROUP}),
@@ -259,12 +262,15 @@ class Trainer:
             }
             return total, aux
 
-        def train_step(state: TrainState, x, key):
+        def train_step(state: TrainState, x, key=None):
+            """One full iteration. `key=None` draws from state.rng (the
+            production path — no host RNG round trip); an explicit key
+            overrides it (tests)."""
             metrics = {}
-            keys = {}
-            for i, name in enumerate(("gen_d", "fp_d", "rp_d", "ref_d",
-                                      "gen_g", "fp_g", "ref_g")):
-                keys[name] = jax.random.fold_in(jax.random.fold_in(key, i), 0)
+            base = state.rng if key is None else key
+            next_rng, base = jax.random.split(base)
+            names = ("gen_d", "fp_d", "rp_d", "ref_d", "gen_g", "fp_g", "ref_g")
+            keys = dict(zip(names, jax.random.split(base, len(names))))
 
             params = state.params
             g_params = {k: params[k] for k in G_GROUP + EX_GROUP}
@@ -327,6 +333,7 @@ class Trainer:
 
             new_state = state.replace(
                 step=state.step + 1,
+                rng=next_rng,
                 params=new_params,
                 ema=ema,
                 opt_g=opt_g,

@@ -123,9 +123,8 @@ def main(cfg: TrainConfig) -> None:
         if profile_dir and idx == 10:
             jax.profiler.start_trace(profile_dir)
         x = parallel.shard_batch(mesh, next(loader))
-        key, sub = jax.random.split(key)
         fn = step_r1 if iter_idx % cfg.d_reg_every == 0 else step_plain
-        state, metrics = fn(state, x, sub)
+        state, metrics = fn(state, x)  # RNG evolves inside the step
         window_imgs += cfg.batch_size
         if profile_dir and idx == 15:
             jax.block_until_ready(metrics)
