@@ -116,11 +116,20 @@ class MultiResolutionLMDBDataset:
 
 
 class SyntheticDataset:
-    """Deterministic procedural RGB images (tests and benchmarks)."""
+    """Deterministic procedural RGB images (tests and benchmarks).
 
-    def __init__(self, resolution: int, length: int = 256):
+    Structure-rich by design: random rectangles and discs at random
+    positions over a gradient background. A purely *global* image family
+    (e.g. full-field sinusoids) is fully describable by the texture
+    vector alone, which removes all pressure on the structure pathway
+    and lets the structure generator collapse — observed experimentally;
+    spatial layout keeps the S-space alive.
+    """
+
+    def __init__(self, resolution: int, length: int = 256, n_shapes: int = 6):
         self.resolution = resolution
         self.length = length
+        self.n_shapes = n_shapes
 
     def __len__(self):
         return self.length
@@ -129,13 +138,19 @@ class SyntheticDataset:
         r = self.resolution
         rng = np.random.default_rng(idx)
         yy, xx = np.mgrid[0:r, 0:r].astype(np.float32) / r
-        phase = rng.uniform(0, 2 * np.pi, 3)
-        freq = rng.uniform(2, 8, 3)
-        img = np.stack(
-            [np.sin(freq[c] * (xx + yy) * np.pi + phase[c]) for c in range(3)], -1
-        )
-        img = ((img * 0.5 + 0.5) * 255).astype(np.uint8)
-        return img
+        base = rng.uniform(0, 1, (2, 3)).astype(np.float32)
+        img = base[0][None, None, :] * (1 - yy)[..., None] + \
+            base[1][None, None, :] * yy[..., None]
+        for _ in range(self.n_shapes):
+            color = rng.uniform(0, 1, 3).astype(np.float32)
+            cy, cx = rng.uniform(0.1, 0.9, 2)
+            size = rng.uniform(0.08, 0.3)
+            if rng.random() < 0.5:
+                mask = (np.abs(yy - cy) < size) & (np.abs(xx - cx) < size * rng.uniform(0.5, 1.5))
+            else:
+                mask = (yy - cy) ** 2 + (xx - cx) ** 2 < size ** 2
+            img[mask] = color
+        return (img * 255).astype(np.uint8)
 
 
 def make_dataset(dataset_type: str, path: str, resolution: int):

@@ -47,6 +47,12 @@ class DisentanglementEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if x.shape[1] < 64 or x.shape[2] < 64:
+            raise ValueError(
+                f"DisentanglementEncoder needs inputs >= 64x64 (got "
+                f"{x.shape[1]}x{x.shape[2]}): the valid-pad texture head "
+                "(models.py:255-260 semantics) collapses below that."
+            )
         ch = self.channel
         y = ConvLayer(ch, 1, name="stem0", dtype=self.dtype)(x)
         for i in range(1, 5):
@@ -290,6 +296,11 @@ class DistributionDiscriminator(nn.Module):
     @nn.compact
     def __call__(self, t):
         tc = self.texture_channel
+        if tc < 64:
+            raise ValueError(
+                f"texture_channel must be >= 64 (got {tc}): the MLP widths "
+                "are tc/4, tc/16, tc/64 (models.py:432-437 semantics)."
+            )
         y = t
         for i, dim in enumerate((tc // 4, tc // 16, tc // 64, 1)):
             y = EqualLinear(
