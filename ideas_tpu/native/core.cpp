@@ -84,18 +84,21 @@ void ideas_preprocess_batch(const uint8_t* in, float* out, int64_t n,
     for (int64_t b = b0; b < b1; ++b) {
       const uint8_t* src = in + b * img;
       float* dst = out + b * img;
+      // IEEE division keeps the endpoints exact (255/127.5 == 2.0);
+      // a reciprocal-multiply constant would leak 1.0000001 past the
+      // [-1, 1] contract.
       if (flips && flips[b]) {
         for (int64_t y = 0; y < h; ++y) {
           for (int64_t x = 0; x < w; ++x) {
             const uint8_t* sp = src + (y * w + (w - 1 - x)) * c;
             float* dp = dst + (y * w + x) * c;
             for (int64_t k = 0; k < c; ++k)
-              dp[k] = sp[k] * (1.0f / 127.5f) - 1.0f;
+              dp[k] = sp[k] / 127.5f - 1.0f;
           }
         }
       } else {
         for (int64_t i = 0; i < img; ++i)
-          dst[i] = src[i] * (1.0f / 127.5f) - 1.0f;
+          dst[i] = src[i] / 127.5f - 1.0f;
       }
     }
   });
