@@ -51,6 +51,7 @@ def main(argv=None):
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--style-dim", type=int, default=512)
+    p.add_argument("--n-mlp", type=int, default=8)
     p.add_argument("--channel-multiplier", type=int, default=2)
     p.add_argument("--pics", type=int, default=20)
     p.add_argument("--sample", type=int, default=1)
@@ -59,7 +60,7 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     a = p.parse_args(argv)
 
-    cfg = SG2Config(size=a.size, style_dim=a.style_dim,
+    cfg = SG2Config(size=a.size, style_dim=a.style_dim, n_mlp=a.n_mlp,
                     channel_multiplier=a.channel_multiplier)
     trainer = SG2Trainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))

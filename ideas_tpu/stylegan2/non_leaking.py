@@ -140,8 +140,9 @@ def sample_affine(key, batch: int, height: int, width: int, p: float):
     # isotropic scale, log-normal std 0.2
     s = _lognormal(ks[6], (batch,), 0.2)
     G = G @ gate(ks[6], _scale2d(s, s))
-    # pre/post rotation around anisotropic scale (p_rot = 1-sqrt(1-p))
-    p_rot = 1.0 - math.sqrt(max(0.0, 1.0 - p))
+    # pre/post rotation around anisotropic scale (p_rot = 1-sqrt(1-p));
+    # p may be a traced scalar (the ADA controller's state), so jnp math.
+    p_rot = 1.0 - jnp.sqrt(jnp.clip(1.0 - p, 0.0, 1.0))
     theta = jax.random.uniform(ks[7], (batch,), minval=-math.pi, maxval=math.pi)
     applyr = jax.random.uniform(ks[8], (batch,)) < p_rot
     G = G @ jnp.where(applyr[:, None, None], _rotate2d(-theta), I)
