@@ -400,16 +400,23 @@ class Trainer:
         """stego image -> extracted message bits."""
         return self._reveal_fn(sigma)(state.ema, image)
 
-    def eval_roundtrip(self, state: TrainState, key) -> Dict[str, float]:
+    def eval_roundtrip(self, state: TrainState, key, x=None) -> Dict[str, float]:
         """The online integration test (train.py:249-293): random message
-        -> hide -> reveal -> ACC. One jitted program."""
+        -> hide -> reveal -> ACC. One jitted program.
+
+        Matches the reference's container curriculum: before 80% of
+        num_iters the container is X2_hat = G(S2, T1) with T1 = E(x)
+        (pass the current batch `x`); after, it is X3_hat = G(S2, T2)
+        with random texture. With x=None the X3 path is always used
+        (the serving/hide scenario)."""
         cfg = self.cfg
         res = cfg.image_size // 16
 
-        if "eval_rt" not in self._step_fns:
+        cache_key = ("eval_rt", x is not None)
+        if cache_key not in self._step_fns:
 
             @jax.jit
-            def fn(ema, key):
+            def fn(ema, key, step, x):
                 k1, k2, k3 = jax.random.split(key, 3)
                 b = cfg.batch_size
                 msg = jax.random.bernoulli(
@@ -418,10 +425,16 @@ class Trainer:
                 t2 = jax.random.uniform(
                     k2, (b, cfg.texture_channel), jnp.float32, -1.0, 1.0
                 )
+                if x is not None:
+                    _, t1 = self.models["E"].apply(ema["E"], x)
+                    use_x3 = step > (0.8 * cfg.num_iters)
+                    texture = jnp.where(use_x3, t2, t1)
+                else:
+                    texture = t2
                 z = message_to_tensor(msg, sigma=1, delta=0.5, key=k3)
                 z = z.reshape(b, res, res, cfg.N)
                 s2 = self.models["Gstru"].apply(ema["Gstru"], z)
-                img = self.models["G"].apply(ema["G"], s2, t2)
+                img = self.models["G"].apply(ema["G"], s2, texture)
                 s2_hat, _ = self.models["E"].apply(ema["E"], img)
                 z_hat = self.models["Ex"].apply(ema["Ex"], s2_hat)
                 msg_hat = tensor_to_message(z_hat.reshape(b, -1), sigma=1)
@@ -429,8 +442,8 @@ class Trainer:
                 tensor_l1 = jnp.mean(jnp.abs(z_hat - z))
                 return {"ACC": 1.0 - ber, "tensor_L1": tensor_l1}
 
-            self._step_fns["eval_rt"] = fn
-        return self._step_fns["eval_rt"](state.ema, key)
+            self._step_fns[cache_key] = fn
+        return self._step_fns[cache_key](state.ema, key, state.step, x)
 
     def sample_images(self, state: TrainState, x, key):
         """EMA sample grid rows (X1_hat, X2_hat, X3_hat) for monitoring

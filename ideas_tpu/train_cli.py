@@ -155,7 +155,7 @@ def main(cfg: TrainConfig) -> None:
         if iter_idx % cfg.show_every == 0:
             key, k1, k2 = jax.random.split(key, 3)
             ev = {k: float(v) for k, v in
-                  jax.device_get(trainer.eval_roundtrip(state, k1)).items()}
+                  jax.device_get(trainer.eval_roundtrip(state, k1, x)).items()}
             use_x3 = 3 if iter_idx > cfg.num_iters * 0.8 else 2
             log(
                 f"[Testing {iter_idx:07d}/{cfg.num_iters:07d}] sigma=1 "

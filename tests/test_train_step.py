@@ -66,6 +66,10 @@ def test_hide_reveal_roundtrip(trainer, state0):
     acc = float(out["ACC"])
     assert 0.0 <= acc <= 1.0
     assert np.isfinite(float(out["tensor_L1"]))
+    # curriculum-faithful variant: container texture from E(x) pre-80%
+    out2 = trainer.eval_roundtrip(state0, jax.random.PRNGKey(4),
+                                  _batch(trainer.cfg))
+    assert 0.0 <= float(out2["ACC"]) <= 1.0
 
 
 def test_train_step_data_parallel_8dev():
