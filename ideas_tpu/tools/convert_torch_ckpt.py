@@ -232,13 +232,75 @@ def convert_checkpoint(path: str, image_size: int = 256) -> Dict[str, dict]:
     return out
 
 
+def check_against_models(converted: Dict[str, dict], image_size: int,
+                         channel: int = 32, N: int = 1,
+                         texture_channel: int = 2048,
+                         structure_channel: int = 8) -> None:
+    """Structural parity check (the role of convert_weight.py:243-278's
+    output comparison, adapted: the torch reference cannot run here, so
+    we verify every converted tree is exactly init-compatible — same
+    keys, same shapes — with the target flax models)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ideas_tpu.config import TrainConfig
+    from ideas_tpu.models import init_model
+
+    cfg = TrainConfig(image_size=image_size, channel=channel, N=N,
+                      texture_channel=texture_channel,
+                      structure_channel=structure_channel)
+    res = image_size // 16
+    inputs = {
+        "E": (jnp.zeros((1, image_size, image_size, 3)),),
+        "G": (jnp.zeros((1, res, res, cfg.structure_channel)),
+              jnp.zeros((1, cfg.texture_channel))),
+        "Gstru": (jnp.zeros((1, res, res, N)),),
+        "Ex": (jnp.zeros((1, res, res, cfg.structure_channel)),),
+        "Ddist": (jnp.zeros((1, cfg.texture_channel)),),
+        "Dreal": (jnp.zeros((1, image_size, image_size, 3)),),
+    }
+    names = {"E": "DisentanglementEncoder", "G": "Generator",
+             "Gstru": "StructureGenerator", "Ex": "TensorExtractor",
+             "Ddist": "DistributionDiscriminator",
+             "Dreal": "ImageLevelDiscriminator"}
+    for slot, model_name in names.items():
+        if slot not in converted:
+            continue
+        model = init_model(model_name, cfg)
+        want = jax.eval_shape(
+            lambda *a: model.init(jax.random.PRNGKey(0), *a), *inputs[slot]
+        )["params"]
+        got = converted[slot]["params"]
+        flat_w = jax.tree_util.tree_flatten_with_path(want)[0]
+        flat_g = jax.tree_util.tree_flatten_with_path(got)[0]
+        paths_w = {jax.tree_util.keystr(p): tuple(v.shape) for p, v in flat_w}
+        paths_g = {jax.tree_util.keystr(p): tuple(v.shape) for p, v in flat_g}
+        if paths_w != paths_g:
+            missing = set(paths_w) - set(paths_g)
+            extra = set(paths_g) - set(paths_w)
+            mismatch = {k: (paths_w[k], paths_g[k])
+                        for k in set(paths_w) & set(paths_g)
+                        if paths_w[k] != paths_g[k]}
+            raise ValueError(
+                f"{slot}: converted tree != model tree; missing={missing} "
+                f"extra={extra} shape-mismatch={mismatch}"
+            )
+        print(f"{slot}: OK ({len(paths_w)} arrays)")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt", required=True)
     p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--channel", type=int, default=32)
+    p.add_argument("--N", type=int, default=1)
     p.add_argument("--out", required=True)
+    p.add_argument("--check", action="store_true",
+                   help="validate converted trees against model.init shapes")
     a = p.parse_args(argv)
     converted = convert_checkpoint(a.ckpt, a.image_size)
+    if a.check:
+        check_against_models(converted, a.image_size, a.channel, a.N)
     flat = {}
 
     def flatten(tree, prefix):

@@ -127,3 +127,16 @@ def test_generator_roundtrip():
 
     got = cc.convert_generator(sd)
     _tree_equal(params, got)
+
+    # the CLI's --check validator accepts a correct tree and rejects a
+    # corrupted one
+    cc.check_against_models(
+        {"G": {"params": got}}, CFG.image_size, CFG.channel, CFG.N,
+        texture_channel=CFG.texture_channel,
+    )
+    bad = {"G": {"params": {**got, "layer0": got["layer1"]}}}
+    with pytest.raises(ValueError):
+        cc.check_against_models(
+            bad, CFG.image_size, CFG.channel, CFG.N,
+            texture_channel=CFG.texture_channel,
+        )
