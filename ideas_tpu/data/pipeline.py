@@ -187,15 +187,22 @@ def data_iterator(
     seed: int = 0,
     prefetch: int = 2,
     num_threads: int = 0,
+    raw: bool = False,
 ) -> Iterator[np.ndarray]:
-    """Infinite shuffled NHWC float32 batch iterator with prefetch.
+    """Infinite shuffled NHWC batch iterator with prefetch.
 
     Mirrors `sample_data(DataLoader(...))` (`utils.py:63-66`): reshuffle
     every epoch, loop forever. A daemon thread fills a bounded queue so
     decode overlaps device compute.
+
+    `raw=False` yields float32 batches in [-1, 1] (flip + normalize on
+    the host). `raw=True` yields `(uint8 imgs, bool flip_mask)` so the
+    normalize/flip runs on device instead — 4x fewer bytes over the
+    host->device link, which is the production-loop bottleneck on remote
+    TPU relays (PERF.md: 142 ms fp32 vs 66 ms uint8 per 8x256^2 batch).
     """
     rng = np.random.default_rng(seed)
-    q: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=prefetch)
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
 
     def produce():
         while True:
@@ -204,7 +211,7 @@ def data_iterator(
                 idx = order[start : start + batch_size]
                 imgs = np.stack([dataset[int(i)] for i in idx])
                 flips = rng.random(batch_size) < 0.5
-                q.put(_to_float_batch(imgs, flips))
+                q.put((imgs, flips) if raw else _to_float_batch(imgs, flips))
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()

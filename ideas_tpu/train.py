@@ -344,17 +344,58 @@ class Trainer:
 
         return train_step
 
-    def train_step_fn(self, do_r1: bool, donate: bool = False):
+    def train_step_fn(self, do_r1: bool, donate: bool = False,
+                      device_data_fn=None):
         """Compiled step. `donate=True` donates the input state's buffers
         (halves peak memory in the production loop; leave False when the
-        caller still needs the old state, e.g. tests)."""
-        cache_key = (do_r1, donate)
+        caller still needs the old state, e.g. tests).
+
+        `device_data_fn` (key -> (B, H, W, 3) batch in [-1, 1]) moves data
+        generation *inside* the compiled program (see
+        data/device_synthetic.py): the returned step takes `state` only,
+        draws the batch from `state.rng`, and performs zero host->device
+        transfer per iteration — the relay transfer of an fp32 256^2
+        batch otherwise costs ~142 ms/step (PERF.md)."""
+        cache_key = (do_r1, donate, device_data_fn is not None)
         if cache_key not in self._step_fns:
-            fn = jax.jit(
-                self.build_train_step(do_r1),
-                donate_argnums=(0,) if donate else (),
+            inner = self.build_train_step(do_r1)
+            if device_data_fn is None:
+                fn = inner
+            else:
+                def fn(state: TrainState):
+                    data_key, rest = jax.random.split(state.rng)
+                    x = device_data_fn(data_key)
+                    if self.mesh is not None:
+                        x = jax.lax.with_sharding_constraint(
+                            x, parallel.batch_sharding(self.mesh)
+                        )
+                    return inner(state.replace(rng=rest), x)
+
+            self._step_fns[cache_key] = jax.jit(
+                fn, donate_argnums=(0,) if donate else ()
             )
-            self._step_fns[cache_key] = fn
+        return self._step_fns[cache_key]
+
+    def train_step_uint8_fn(self, do_r1: bool, donate: bool = False):
+        """Compiled step taking `(state, uint8 imgs NHWC, bool flip mask)`.
+
+        The RandomHorizontalFlip + Normalize(0.5, 0.5) host transforms
+        (`/root/reference/train.py:444-451`) run on device instead, so
+        the per-iteration host->device payload is raw uint8 — 4x fewer
+        bytes over the relay link (PERF.md)."""
+        cache_key = (do_r1, donate, "uint8")
+        if cache_key not in self._step_fns:
+            inner = self.build_train_step(do_r1)
+
+            def fn(state: TrainState, u8, flips):
+                x = u8.astype(jnp.float32) / 127.5 - 1.0
+                x = jnp.where(flips[:, None, None, None],
+                              x[:, :, ::-1, :], x)
+                return inner(state, x)
+
+            self._step_fns[cache_key] = jax.jit(
+                fn, donate_argnums=(0,) if donate else ()
+            )
         return self._step_fns[cache_key]
 
     # -- hide / reveal (the sampling block, train.py:249-293) ---------------

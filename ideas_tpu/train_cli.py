@@ -35,7 +35,8 @@ def parse_args(argv=None) -> TrainConfig:
     defaults = TrainConfig()
     p.add_argument("--exp_name", type=str, required=True)
     p.add_argument("--dataset_path", type=str, default="")
-    p.add_argument("--dataset_type", choices=["lmdb", "normal", "synthetic"],
+    p.add_argument("--dataset_type",
+                   choices=["lmdb", "normal", "synthetic", "synthetic_device"],
                    default="synthetic")
     p.add_argument("--num_iters", type=int, required=True)
     for name in ("N", "batch_size", "image_size", "ref_crop", "n_crop",
@@ -104,11 +105,43 @@ def main(cfg: TrainConfig) -> None:
         start_iter = int(jax.device_get(state.step))
         log(f"resumed from checkpoint at iter {start_iter}")
 
-    dataset = make_dataset(cfg.dataset_type, cfg.dataset_path, cfg.image_size)
-    loader = data_iterator(dataset, cfg.batch_size, seed=cfg.seed)
+    device_data = cfg.dataset_type == "synthetic_device"
+    if device_data:
+        # Batches are rasterized inside the compiled step (zero transfer;
+        # see data/device_synthetic.py). A jitted sampler still provides
+        # device-resident eval/sample batches every show_every iters.
+        from ideas_tpu.data.device_synthetic import (
+            make_device_data_fn, synthetic_batch,
+        )
 
-    step_plain = trainer.train_step_fn(do_r1=False, donate=True)
-    step_r1 = trainer.train_step_fn(do_r1=True, donate=True)
+        loader = None
+        data_fn = make_device_data_fn(cfg.batch_size, cfg.image_size)
+        step_plain = trainer.train_step_fn(
+            do_r1=False, donate=True, device_data_fn=data_fn)
+        step_r1 = trainer.train_step_fn(
+            do_r1=True, donate=True, device_data_fn=data_fn)
+    else:
+        # Host datasets ship raw uint8 + a flip mask; normalize/flip run
+        # on device inside the step (4x fewer bytes over the relay link,
+        # PERF.md). The *next* batch is device_put right after the step
+        # dispatch so the transfer overlaps device compute.
+        dataset = make_dataset(cfg.dataset_type, cfg.dataset_path, cfg.image_size)
+        loader = data_iterator(dataset, cfg.batch_size, seed=cfg.seed, raw=True)
+        step_plain = trainer.train_step_uint8_fn(do_r1=False, donate=True)
+        step_r1 = trainer.train_step_uint8_fn(do_r1=True, donate=True)
+
+        @jax.jit
+        def to_float(u8, flips):
+            xf = u8.astype(jnp.float32) / 127.5 - 1.0
+            return jnp.where(flips[:, None, None, None],
+                             xf[:, :, ::-1, :], xf)
+
+        def put_next():
+            u8, flips = next(loader)
+            return (parallel.shard_batch(mesh, u8),
+                    parallel.shard_batch(mesh, flips))
+
+        pending = put_next()
     key = jax.random.PRNGKey(cfg.seed + 1)
 
     profile_dir = getattr(cfg, "profile_dir", None)
@@ -122,9 +155,15 @@ def main(cfg: TrainConfig) -> None:
             break
         if profile_dir and idx == 10:
             jax.profiler.start_trace(profile_dir)
-        x = parallel.shard_batch(mesh, next(loader))
         fn = step_r1 if iter_idx % cfg.d_reg_every == 0 else step_plain
-        state, metrics = fn(state, x)  # RNG evolves inside the step
+        if device_data:
+            state, metrics = fn(state)  # batch + RNG both inside the step
+            x = None
+        else:
+            u8, flips = pending
+            state, metrics = fn(state, u8, flips)  # RNG evolves inside
+            pending = put_next()  # transfer overlaps device compute
+            x = (u8, flips)  # materialized lazily for eval/samples below
         window_imgs += cfg.batch_size
         if profile_dir and idx == 15:
             jax.block_until_ready(metrics)
@@ -154,6 +193,11 @@ def main(cfg: TrainConfig) -> None:
 
         if iter_idx % cfg.show_every == 0:
             key, k1, k2 = jax.random.split(key, 3)
+            if device_data:
+                key, kx = jax.random.split(key)
+                x = synthetic_batch(kx, cfg.batch_size, cfg.image_size)
+            else:
+                x = to_float(*x)
             ev = {k: float(v) for k, v in
                   jax.device_get(trainer.eval_roundtrip(state, k1, x)).items()}
             use_x3 = 3 if iter_idx > cfg.num_iters * 0.8 else 2
