@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ideas_tpu import parallel
 from ideas_tpu.ops.fused_act import fused_leaky_relu, scaled_leaky_relu
 from ideas_tpu.ops.upfirdn2d import blur
 
@@ -136,6 +137,7 @@ class EqualConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        x = parallel.auto_spatial_constraint(x)
         in_channel = x.shape[-1]
         w = self.param(
             "weight",
@@ -167,6 +169,7 @@ class EqualConvTranspose2d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        x = parallel.auto_spatial_constraint(x)
         in_channel = x.shape[-1]
         w = self.param(
             "weight",
@@ -208,6 +211,7 @@ class ModulatedConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, style):
+        x = parallel.auto_spatial_constraint(x)
         in_channel = x.shape[-1]
         k = self.kernel_size
         w = self.param(

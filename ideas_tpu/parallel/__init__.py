@@ -20,18 +20,44 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPACE_AXIS = "space"
 
 
-def make_mesh(num_devices: int = 0, devices=None) -> Mesh:
-    """A 1-D data-parallel mesh. num_devices=0 means all visible devices."""
+def make_mesh(num_devices: int = 0, devices=None,
+              spatial_devices: int = 1) -> Mesh:
+    """A device mesh for the trainer.
+
+    `spatial_devices=1` (default): 1-D data-parallel mesh over
+    `num_devices` chips (0 = all visible).
+
+    `spatial_devices=S>1`: 2-D (data, space) mesh — batches are sharded
+    over `data` AND activations are sharded along image height over
+    `space`. XLA's SPMD partitioner inserts the conv halo exchanges and
+    the pooling/collective reductions automatically, so 256^2+
+    activations that would not fit one chip's HBM spread over ICI
+    neighbors (the TPU-native answer to "scale the big dimension",
+    SURVEY.md section 5)."""
     if devices is None:
         devices = jax.devices()
     if num_devices:
-        devices = devices[:num_devices]
-    return Mesh(np.asarray(devices), (DATA_AXIS,))
+        devices = devices[: num_devices * spatial_devices]
+    devices = np.asarray(devices)
+    if spatial_devices > 1:
+        if devices.size % spatial_devices:
+            raise ValueError(
+                f"{devices.size} devices not divisible by "
+                f"spatial_devices={spatial_devices}"
+            )
+        grid = devices.reshape(devices.size // spatial_devices, spatial_devices)
+        return Mesh(grid, (DATA_AXIS, SPACE_AXIS))
+    return Mesh(devices, (DATA_AXIS,))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Input-batch sharding: batch over `data`, and — on a 2-D mesh —
+    image height (NHWC axis 1) over `space`."""
+    if SPACE_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
@@ -40,13 +66,71 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch onto the mesh, sharded along axis 0."""
-    return jax.device_put(batch, batch_sharding(mesh))
+    """Place a host batch onto the mesh: leading axis over `data`, and
+    (2-D mesh, rank>=2 leaves) height over `space`."""
+
+    def put(a):
+        if SPACE_AXIS in mesh.axis_names and getattr(a, "ndim", 0) >= 2:
+            spec = P(DATA_AXIS, SPACE_AXIS)
+        else:
+            spec = P(DATA_AXIS)
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, batch)
 
 
 def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params / optimizer state) across the mesh."""
     return jax.device_put(tree, replicated(mesh))
+
+
+# --- ambient mesh: spatial-sharding hints inside model code -----------------
+#
+# XLA's SPMD partitioner mis-computes conv halo exchanges when a shard's
+# spatial extent is smaller than the conv window (observed: VALID 3x3
+# stride-2 conv on H=4 split 4-ways returns wrong values, 2026-08).
+# Layers therefore drop the `space` axis once the per-shard height gets
+# close to the window size — those deep low-resolution activations are
+# tiny, so replicating them over `space` costs ~nothing while the big
+# early layers keep the height sharding. Models reach the active mesh
+# through this ambient global (set by Trainer) instead of threading it
+# through every flax module.
+
+_AMBIENT_MESH: Optional[Mesh] = None
+
+# Per-shard height below which activations leave the `space` axis. 8 =
+# the largest halo a layer needs (4-tap blur on a 2x-upsampled input)
+# with safety margin; heights at or above image_size/16 stay sharded for
+# space_devices <= 2 at 256^2 and the framework enforces nothing smaller.
+MIN_ROWS_PER_SHARD = 8
+
+
+def set_ambient_mesh(mesh: Optional[Mesh]) -> None:
+    global _AMBIENT_MESH
+    _AMBIENT_MESH = mesh
+
+
+def get_ambient_mesh() -> Optional[Mesh]:
+    return _AMBIENT_MESH
+
+
+def auto_spatial_constraint(x):
+    """Inside-jit sharding hint for NHWC activations.
+
+    No-op unless an ambient 2-D (data, space) mesh is set. Keeps height
+    sharded over `space` while every shard still holds >=
+    MIN_ROWS_PER_SHARD rows; below that, constrains to data-only
+    (replicated over `space`) so conv halo exchanges never operate on
+    sub-window shards."""
+    mesh = _AMBIENT_MESH
+    if mesh is None or SPACE_AXIS not in mesh.axis_names or x.ndim != 4:
+        return x
+    n_space = mesh.shape[SPACE_AXIS]
+    if x.shape[1] >= MIN_ROWS_PER_SHARD * n_space:
+        spec = P(DATA_AXIS, SPACE_AXIS)
+    else:
+        spec = P(DATA_AXIS)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
 # Explicit collectives for shard_map-style code, mirroring

@@ -74,6 +74,9 @@ class Trainer:
     def __init__(self, cfg: TrainConfig, mesh=None):
         self.cfg = cfg
         self.mesh = mesh
+        # Layers read the mesh through this ambient global to place
+        # spatial-sharding constraints (see parallel.auto_spatial_constraint).
+        parallel.set_ambient_mesh(mesh)
         self.models = {
             "E": init_model("DisentanglementEncoder", cfg),
             "G": init_model("Generator", cfg),

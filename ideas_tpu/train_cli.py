@@ -42,7 +42,7 @@ def parse_args(argv=None) -> TrainConfig:
     for name in ("N", "batch_size", "image_size", "ref_crop", "n_crop",
                  "d_reg_every", "channel", "channel_multiplier",
                  "structure_channel", "texture_channel", "log_every",
-                 "show_every", "save_every", "seed"):
+                 "show_every", "save_every", "seed", "num_spatial_devices"):
         p.add_argument(f"--{name}", type=int, default=getattr(defaults, name))
     for name in ("lambda_Ex", "lr", "real_r1", "texture_r1", "dist_r1"):
         p.add_argument(f"--{name}", type=float, default=getattr(defaults, name))
@@ -86,14 +86,16 @@ def main(cfg: TrainConfig) -> None:
         with open(log_path, "a") as fp:
             fp.write(msg + "\n")
 
-    mesh = parallel.make_mesh(cfg.num_data_devices)
-    n_dev = mesh.devices.size
-    if cfg.batch_size % n_dev != 0:
+    mesh = parallel.make_mesh(cfg.num_data_devices,
+                              spatial_devices=cfg.num_spatial_devices)
+    n_data = mesh.shape[parallel.DATA_AXIS]
+    if cfg.batch_size % n_data != 0:
         raise ValueError(
-            f"batch_size {cfg.batch_size} not divisible by {n_dev} devices"
+            f"batch_size {cfg.batch_size} not divisible by {n_data} "
+            f"data-parallel devices"
         )
-    log(f"devices: {n_dev} x {jax.devices()[0].device_kind}; "
-        f"global batch {cfg.batch_size}")
+    log(f"devices: {mesh.devices.size} x {jax.devices()[0].device_kind} "
+        f"(mesh {dict(mesh.shape)}); global batch {cfg.batch_size}")
 
     trainer = Trainer(cfg, mesh=mesh)
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
