@@ -19,5 +19,16 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
+import pytest
 
 jax.config.update("jax_platforms", "cpu")
+
+
+@pytest.fixture(autouse=True)
+def _reset_ambient_mesh():
+    """Trainer sets the ambient mesh globally (spatial-sharding hints);
+    keep tests isolated from each other's mesh state."""
+    yield
+    from ideas_tpu import parallel
+
+    parallel.set_ambient_mesh(None)
