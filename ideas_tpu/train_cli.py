@@ -78,8 +78,9 @@ def main(cfg: TrainConfig) -> None:
     with open(os.path.join(base_dir, "training_config.txt"), "w") as fp:
         for field in dataclasses.fields(cfg):
             fp.write(f"{field.name}: {getattr(cfg, field.name)}\n")
+    # Append-only (like the reference's training_logs.txt): restarts —
+    # e.g. by tools/supervise.py after a relay stall — keep the history.
     log_path = os.path.join(base_dir, "training_logs.txt")
-    open(log_path, "w").close()
 
     def log(msg: str):
         print(msg, flush=True)
