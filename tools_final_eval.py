@@ -1,0 +1,43 @@
+"""Final quality eval of a trained 256^2 run: extraction-ACC sweep at
+delta in {0, 25, 50}% (the paper's headline table, BASELINE.md) from the
+latest EMA checkpoint. One TPU process; ~3-6 min of compiles.
+
+    python tools_final_eval.py [exp_dir=/tmp/exp/paper256dev] [n_batches=16]
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    exp_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/exp/paper256dev"
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+
+    from ideas_tpu.checkpoint import CheckpointManager
+    from ideas_tpu.config import TrainConfig
+    from ideas_tpu.eval.metrics import extraction_accuracy_sweep
+    from ideas_tpu.train import Trainer
+
+    cfg = TrainConfig(image_size=256, channel=32, batch_size=8,
+                      compute_dtype=jnp.bfloat16, num_iters=80000)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    manager = CheckpointManager(f"{exp_dir}/checkpoints")
+    step = manager.latest_step()
+    state = manager.restore(state, step)
+    print(f"checkpoint iter: {int(jax.device_get(state.step))}", flush=True)
+
+    sweep = extraction_accuracy_sweep(
+        trainer, state, jax.random.PRNGKey(123), n_batches=n_batches
+    )
+    bits = cfg.N * (cfg.image_size // 16) ** 2
+    print(f"payload: {bits} bits/image (N={cfg.N}, sigma=1)")
+    for delta, acc in sweep.items():
+        print(f"ACC @ delta={int(delta*100)}%: {acc*100:.2f}%")
+    print("FINAL_EVAL_OK")
+
+
+if __name__ == "__main__":
+    main()
