@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ideas_tpu import parallel
+from ideas_tpu.ops import phase_upsample
 from ideas_tpu.ops.fused_act import fused_leaky_relu, scaled_leaky_relu
 from ideas_tpu.ops.upfirdn2d import blur
 
@@ -165,6 +166,11 @@ class EqualConvTranspose2d(nn.Module):
     kernel_size: int
     stride: int = 2
     use_bias: bool = True
+    # When set (and bias-free), the trailing FIR blur of the StyleGAN2 up
+    # path is folded into this conv as a dense phase conv (exact rewrite,
+    # ops/phase_upsample.py); the caller then skips its own blur().
+    fuse_blur_taps: Optional[Tuple[int, ...]] = None
+    fuse_blur_pad: Optional[Tuple[int, int]] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -178,6 +184,16 @@ class EqualConvTranspose2d(nn.Module):
             jnp.float32,
         )
         scale = 1.0 / math.sqrt(in_channel * self.kernel_size ** 2)
+        if self.fuse_blur_taps is not None:
+            assert not self.use_bias, "fused up path requires bias-free conv"
+            assert self.stride == 2
+            # NB: the reference's ConvLayer blur has NO upsample gain
+            # (`models.py:95` passes no upsample_factor), unlike the
+            # modulated-conv up path -> gain=1.
+            return phase_upsample.fused_upsample_conv(
+                x.astype(self.dtype), w * scale, self.fuse_blur_taps,
+                pad=self.fuse_blur_pad, gain=1.0,
+            )
         y = _conv_transpose(
             x.astype(self.dtype), (w * scale).astype(self.dtype), stride=self.stride
         )
@@ -235,12 +251,24 @@ class ModulatedConv2d(nn.Module):
         ws = (w * scale).astype(self.dtype)
 
         if self.upsample:
-            y = _conv_transpose(xm, ws, stride=2)
             factor = 2
             p = (len(self.blur_kernel) - factor) - (k - 1)
             pad0 = (p + 1) // 2 + factor - 1
             pad1 = p // 2 + 1
-            y = blur(y, self.blur_kernel, pad=(pad0, pad1), upsample_factor=factor)
+            if phase_upsample.enabled() and phase_upsample.fusable(
+                k, self.blur_kernel, (pad0, pad1)
+            ):
+                # conv_transpose + blur as ONE dense phase conv (exact;
+                # see ops/phase_upsample.py). Composed kernel built from
+                # the fp32 weights, cast once to the compute dtype.
+                y = phase_upsample.fused_upsample_conv(
+                    xm, w.astype(jnp.float32) * scale, self.blur_kernel,
+                    pad=(pad0, pad1), gain=float(factor ** 2),
+                )
+            else:
+                y = _conv_transpose(xm, ws, stride=2)
+                y = blur(y, self.blur_kernel, pad=(pad0, pad1),
+                         upsample_factor=factor)
         elif self.downsample:
             factor = 2
             p = (len(self.blur_kernel) - factor) + (k - 1)
@@ -318,15 +346,23 @@ class ConvLayer(nn.Module):
                 use_bias=conv_bias, name="conv", dtype=self.dtype,
             )(x)
         elif self.upsample:
-            y = EqualConvTranspose2d(
-                self.out_channel, k, stride=2, use_bias=conv_bias,
-                name="conv", dtype=self.dtype,
-            )(x)
             factor = 2
             p = (len(self.blur_kernel) - factor) - (k - 1)
             pad0 = (p + 1) // 2 + factor - 1
             pad1 = p // 2 + 1
-            y = blur(y, self.blur_kernel, pad=(pad0, pad1))
+            fuse = (
+                not conv_bias
+                and phase_upsample.enabled()
+                and phase_upsample.fusable(k, self.blur_kernel, (pad0, pad1))
+            )
+            y = EqualConvTranspose2d(
+                self.out_channel, k, stride=2, use_bias=conv_bias,
+                fuse_blur_taps=tuple(self.blur_kernel) if fuse else None,
+                fuse_blur_pad=(pad0, pad1) if fuse else None,
+                name="conv", dtype=self.dtype,
+            )(x)
+            if not fuse:
+                y = blur(y, self.blur_kernel, pad=(pad0, pad1))
         else:
             pad = 0
             if self.padding == "zero":
