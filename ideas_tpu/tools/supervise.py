@@ -46,6 +46,12 @@ def main(argv=None):
                         "(default: <experiments_dir>/<exp>/training_logs.txt "
                         "guessed from the command line)")
     p.add_argument("--stall-minutes", type=float, default=15.0)
+    p.add_argument("--startup-minutes", type=float, default=40.0,
+                   help="grace period after each (re)launch before stall "
+                        "detection arms — covers the initial jit compiles "
+                        "(2-6 min per program on the remote relay, more "
+                        "under host-CPU contention), during which the log "
+                        "legitimately goes quiet after its header line")
     p.add_argument("--poll-seconds", type=float, default=30.0)
     p.add_argument("--max-restarts", type=int, default=10)
     p.add_argument("command", nargs=argparse.REMAINDER,
@@ -89,9 +95,13 @@ def main(argv=None):
             last = newest_mtime(watch)
             if last > launch_t:
                 progressed = True
-            # Stall = no watched-file update for `stall` seconds after the
-            # first update (compile phases before the first update are
-            # covered by measuring from launch).
+            # Startup grace: the config/log header is written immediately
+            # at launch, then the log goes quiet through the first jit
+            # compiles — don't count that as a stall.
+            if time.time() - launch_t < a.startup_minutes * 60.0:
+                continue
+            # Stall = no watched-file update for `stall` seconds (measured
+            # from launch if nothing was ever written).
             ref = max(last, launch_t)
             if time.time() - ref > stall:
                 print(
