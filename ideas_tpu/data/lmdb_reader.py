@@ -115,6 +115,34 @@ class LMDBReader:
             return
         yield from self._walk(self.root)
 
+    def keys(self) -> Iterator[bytes]:
+        """In-order key iteration WITHOUT materializing values.
+
+        The reference's startup scan reads keys only
+        (`/root/reference/dataset.py:24-30`); going through items() here
+        would bytes()-copy every value (incl. overflow pages) — gigabytes
+        for an LSUN-scale store — just to enumerate keys.
+        """
+        if self.root == 0xFFFFFFFFFFFFFFFF:
+            return
+        yield from self._walk_keys(self.root)
+
+    def _walk_keys(self, pgno: int):
+        off, flags, lower = self._page_header(pgno)
+        n = self._num_keys(lower)
+        if flags & P_LEAF:
+            for i in range(n):
+                _, _, _, _, key = self._node(off, i)
+                yield key
+        elif flags & P_BRANCH:
+            for i in range(n):
+                noff, _, _, _, _ = self._node(off, i)
+                lo, hi, fl = struct.unpack_from("<HHH", self._mm, noff)
+                child = lo | (hi << 16) | (fl << 32)
+                yield from self._walk_keys(child)
+        else:
+            raise ValueError(f"unexpected page flags {flags:#x} at page {pgno}")
+
     def _walk(self, pgno: int):
         off, flags, lower = self._page_header(pgno)
         n = self._num_keys(lower)

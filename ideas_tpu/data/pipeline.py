@@ -68,7 +68,7 @@ class LMDBImageDataset:
         self.resolution = resolution
         self.db = LMDBReader(path)
         self.keys: List[bytes] = []
-        for k, _ in self.db.items():
+        for k in self.db.keys():  # keys-only scan: no value copies
             self.keys.append(k)
             if len(self.keys) >= max_num:
                 break

@@ -16,17 +16,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _normalize(x):
+    return x / jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
+
+
 def slerp(a, b, t):
-    """Spherical interpolation (`ppl.py:12-18`)."""
-    a_n = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
-    b_n = b / jnp.linalg.norm(b, axis=-1, keepdims=True)
-    d = jnp.sum(a_n * b_n, axis=-1, keepdims=True)
+    """Spherical interpolation (`ppl.py:12-21`): interpolate along the
+    great circle between the *normalized* endpoints and re-normalize the
+    result (the reference returns unit vectors, not magnitudes of a)."""
+    a = _normalize(a)
+    b = _normalize(b)
+    d = jnp.sum(a * b, axis=-1, keepdims=True)
     p = t * jnp.arccos(jnp.clip(d, -1 + 1e-7, 1 - 1e-7))
-    c = b_n - d * a_n
-    c = c / jnp.linalg.norm(c, axis=-1, keepdims=True)
-    return (a * jnp.cos(p) + b * jnp.linalg.norm(a, axis=-1, keepdims=True)
-            * jnp.sin(p) * c / jnp.maximum(jnp.linalg.norm(a, axis=-1,
-                                                            keepdims=True), 1e-8))
+    c = _normalize(b - d * a)
+    return _normalize(a * jnp.cos(p) + c * jnp.sin(p))
 
 
 def compute_ppl(

@@ -25,8 +25,10 @@ def generate(g, g_params, key, n_pics, n_sample, truncation, out_dir,
     mean_latent = None
     if truncation < 1:
         key, sub = jax.random.split(key)
-        mean_latent = g.apply(g_params, sub, 4096,
-                              method=SG2Generator.mean_latent)
+        # jit: eager model code remote-compiles op-by-op on the TPU relay.
+        mean_latent = jax.jit(
+            lambda k: g.apply(g_params, k, 4096, method=SG2Generator.mean_latent)
+        )(sub)
 
     @jax.jit
     def sample(z):

@@ -117,7 +117,10 @@ def _lognormal(key, shape, std):
 def sample_affine(key, batch: int, height: int, width: int, p: float):
     """Per-image inverse geometric transforms (`non_leaking.py:151-207`).
     Returns (batch, 3, 3) matrices G_inv."""
-    ks = jax.random.split(key, 12)
+    # One key per random draw: a magnitude and its apply-gate must come
+    # from DIFFERENT keys, or "whether applied" becomes a deterministic
+    # function of "how much" and the augmentation distribution is biased.
+    ks = jax.random.split(key, 16)
     I = jnp.eye(3)[None].repeat(batch, 0)
     G = I
 
@@ -139,27 +142,27 @@ def sample_affine(key, batch: int, height: int, width: int, p: float):
     )
     # isotropic scale, log-normal std 0.2
     s = _lognormal(ks[6], (batch,), 0.2)
-    G = G @ gate(ks[6], _scale2d(s, s))
+    G = G @ gate(ks[7], _scale2d(s, s))
     # pre/post rotation around anisotropic scale (p_rot = 1-sqrt(1-p));
     # p may be a traced scalar (the ADA controller's state), so jnp math.
     p_rot = 1.0 - jnp.sqrt(jnp.clip(1.0 - p, 0.0, 1.0))
-    theta = jax.random.uniform(ks[7], (batch,), minval=-math.pi, maxval=math.pi)
-    applyr = jax.random.uniform(ks[8], (batch,)) < p_rot
+    theta = jax.random.uniform(ks[8], (batch,), minval=-math.pi, maxval=math.pi)
+    applyr = jax.random.uniform(ks[9], (batch,)) < p_rot
     G = G @ jnp.where(applyr[:, None, None], _rotate2d(-theta), I)
-    s = _lognormal(ks[9], (batch,), 0.2)
-    G = G @ gate(ks[9], _scale2d(s, 1.0 / s))
-    theta2 = jax.random.uniform(ks[10], (batch,), minval=-math.pi, maxval=math.pi)
-    applyr2 = jax.random.uniform(ks[10], (batch,)) < p_rot
+    s = _lognormal(ks[10], (batch,), 0.2)
+    G = G @ gate(ks[11], _scale2d(s, 1.0 / s))
+    theta2 = jax.random.uniform(ks[12], (batch,), minval=-math.pi, maxval=math.pi)
+    applyr2 = jax.random.uniform(ks[13], (batch,)) < p_rot
     G = G @ jnp.where(applyr2[:, None, None], _rotate2d(-theta2), I)
     # fractional translate, normal std 0.125
-    t = jax.random.normal(ks[11], (batch, 2)) * 0.125
-    G = G @ gate(ks[11], _translate2d(t[:, 0] * width, t[:, 1] * height))
+    t = jax.random.normal(ks[14], (batch, 2)) * 0.125
+    G = G @ gate(ks[15], _translate2d(t[:, 0] * width, t[:, 1] * height))
     return G
 
 
 def sample_color(key, batch: int, p: float):
     """Per-image 4x4 color matrices (`non_leaking.py:210-241`)."""
-    ks = jax.random.split(key, 8)
+    ks = jax.random.split(key, 10)
     I = jnp.eye(4)[None].repeat(batch, 0)
     C = I
     v = jnp.asarray([1.0, 1.0, 1.0, 0.0]) / math.sqrt(3.0)  # luma axis
@@ -171,21 +174,21 @@ def sample_color(key, batch: int, p: float):
     # brightness (std 0.2)
     b = jax.random.normal(ks[0], (batch,)) * 0.2
     C = C @ gate(ks[1], _translate3d(b, b, b))
-    # contrast (log-normal std 0.5)
+    # contrast (log-normal std 0.5) — distinct gate key (see sample_affine)
     c = _lognormal(ks[2], (batch,), 0.5)
-    C = C @ gate(ks[2], _scale3d(c, c, c))
+    C = C @ gate(ks[3], _scale3d(c, c, c))
     # luma flip (householder about luma axis)
-    i = jax.random.randint(ks[3], (batch,), 0, 2).astype(jnp.float32)
+    i = jax.random.randint(ks[4], (batch,), 0, 2).astype(jnp.float32)
     flip = jnp.eye(4)[None] - 2.0 * jnp.outer(v, v)[None] * i[:, None, None]
-    C = C @ gate(ks[4], flip)
+    C = C @ gate(ks[5], flip)
     # hue rotation about luma axis
-    theta = jax.random.uniform(ks[5], (batch,), minval=-math.pi, maxval=math.pi)
-    C = C @ gate(ks[5], _rotate3d((v[0], v[1], v[2]), theta))
+    theta = jax.random.uniform(ks[6], (batch,), minval=-math.pi, maxval=math.pi)
+    C = C @ gate(ks[7], _rotate3d((v[0], v[1], v[2]), theta))
     # saturation (log-normal std 1)
-    s = _lognormal(ks[6], (batch,), 1.0)
+    s = _lognormal(ks[8], (batch,), 1.0)
     vv = jnp.outer(v, v)[None]
     sat = vv + (jnp.eye(4)[None] - vv) * s[:, None, None]
-    C = C @ gate(ks[7], sat)
+    C = C @ gate(ks[9], sat)
     return C
 
 

@@ -78,7 +78,12 @@ def project(
             key, sub = jax.random.split(key)
             noises.append(jax.random.normal(sub, (1, 2 ** i, 2 ** i, 1)))
 
-    opt = optax.adam(initial_lr)
+    # Schedule the lr like the reference (param_groups['lr'] set per step,
+    # `projector.py:146-150`): apply Adam's normalization first, then the
+    # scheduled lr. Scaling the *gradients* instead would be cancelled by
+    # Adam's scale invariance (m/sqrt(v)) and turn the cosine ramp into a
+    # no-op.
+    opt = optax.chain(optax.scale_by_adam(), optax.scale(-1.0))
     params = {"latent": latent, "noises": noises}
     opt_state = opt.init(params)
 
@@ -106,9 +111,8 @@ def project(
         (loss, p_loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, key, noise_strength
         )
-        updates, opt_state = opt.update(
-            jax.tree.map(lambda g: g * lr_scale, grads), opt_state, params
-        )
+        updates, opt_state = opt.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: u * lr_scale, updates)
         params = optax.apply_updates(params, updates)
         params["noises"] = normalize_noises(params["noises"])
         return params, opt_state, loss, p_loss
@@ -116,7 +120,7 @@ def project(
     history = []
     for i in range(steps):
         t = i / steps
-        lr = get_lr(t, 1.0)  # scale applied to grads; base lr in optimizer
+        lr = get_lr(t, initial_lr)
         ns = latent_std * noise_level * max(0.0, 1.0 - t / noise_ramp) ** 2
         key, sub = jax.random.split(key)
         params, opt_state, loss, p_loss = step(

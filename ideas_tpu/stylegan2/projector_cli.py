@@ -67,9 +67,14 @@ def main(argv=None):
     key = jax.random.PRNGKey(1)
     key, sub = jax.random.split(key)
     z = jax.random.normal(sub, (a.n_mean_latent, cfg.style_dim))
-    w = g.apply(g_params, z, method=SG2Generator.map_latent)
+    w = jax.jit(lambda z: g.apply(g_params, z, method=SG2Generator.map_latent))(z)
     mean_latent = jnp.mean(w, 0, keepdims=True)
-    latent_std = float(jnp.sqrt(jnp.mean(jnp.square(w - mean_latent))))
+    # Reference `projector.py:62`: sum over ALL elements / n_mean_latent
+    # (NOT a per-element mean — that would shrink the latent-noise
+    # annealing scale by sqrt(style_dim)).
+    latent_std = float(
+        jnp.sqrt(jnp.sum(jnp.square(w - mean_latent)) / a.n_mean_latent)
+    )
 
     latent, noises, hist = project(
         g.apply, g_params, lpips_fn, mean_latent, latent_std, target,

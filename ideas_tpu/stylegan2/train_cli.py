@@ -72,6 +72,11 @@ def main(argv=None):
     dataset = make_dataset(a.dataset_type, a.path, a.size)
     loader = data_iterator(dataset, a.batch, seed=a.seed)
     key = jax.random.PRNGKey(a.seed + 1)
+    # One jitted EMA sampler for the whole run — building a fresh
+    # jax.jit(lambda ...) inside the save block would re-trace and
+    # re-compile the generator on every checkpoint (minutes each on the
+    # remote-compile relay).
+    sample_ema = jax.jit(lambda p, z: trainer.G.apply(p, [z]))
 
     t0 = time.time()
     for i in range(start + 1, a.iter + 1):
@@ -97,9 +102,7 @@ def main(argv=None):
         if i % a.save_every == 0 or i == a.iter:
             key, sub = jax.random.split(key)
             z = jax.random.normal(sub, (a.n_sample, cfg.style_dim))
-            img, _ = jax.jit(
-                lambda p, z: trainer.G.apply(p, [z])
-            )(state.g_ema, z)
+            img, _ = sample_ema(state.g_ema, z)
             save_image_grid(
                 np.asarray(jax.device_get(img)),
                 os.path.join(a.exp_dir, "sample", f"{i:06d}.png"),

@@ -93,7 +93,11 @@ def main(argv=None):
             except subprocess.TimeoutExpired:
                 pass
             last = newest_mtime(watch)
-            if last > launch_t:
+            # The CLI writes its config/log header within seconds of
+            # launch; only a write AFTER that window counts as progress,
+            # otherwise a child that hangs post-header resets the
+            # restart counter forever and --max-restarts can never fire.
+            if last > launch_t + 60.0:
                 progressed = True
             # Startup grace: the config/log header is written immediately
             # at launch, then the log goes quiet through the first jit

@@ -168,7 +168,7 @@ class Trainer:
         cfg = self.cfg
         models = self.models
 
-        def d_loss_fn(d_params, g_params, x, fwd, keys):
+        def d_loss_fn(d_params, x, fwd, keys):
             fake_pred = models["Dreal"].apply(d_params["Dreal"], fwd["hx_cat"])
             real_pred = models["Dreal"].apply(d_params["Dreal"], x)
             d_real = d_logistic_loss(real_pred, fake_pred)
@@ -283,7 +283,7 @@ class Trainer:
             # differentiated (grads only w.r.t. d_params).
             fwd_d = self._gen_forward(params, x, keys["gen_d"])
             (d_total, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-                d_params, g_params, x,
+                d_params, x,
                 jax.tree.map(jax.lax.stop_gradient, fwd_d),
                 {"fp": keys["fp_d"], "rp": keys["rp_d"], "ref": keys["ref_d"]},
             )
@@ -359,7 +359,7 @@ class Trainer:
         draws the batch from `state.rng`, and performs zero host->device
         transfer per iteration — the relay transfer of an fp32 256^2
         batch otherwise costs ~142 ms/step (PERF.md)."""
-        cache_key = (do_r1, donate, device_data_fn is not None)
+        cache_key = (do_r1, donate, id(device_data_fn))
         if cache_key not in self._step_fns:
             inner = self.build_train_step(do_r1)
             if device_data_fn is None:
