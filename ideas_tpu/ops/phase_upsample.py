@@ -57,12 +57,34 @@ _ENABLED = False
 
 
 def set_enabled(v: bool) -> None:
+    """Select the fused path for traces that happen AFTER this call.
+
+    Must run before any step/apply fn is jit-traced: jax.jit caches by
+    function identity and Trainer caches step fns, so a toggle after
+    tracing silently keeps the old behavior. We can't see jit's cache
+    from here, but we do know whether *this flag* was already consulted
+    by a trace — warn loudly in that case instead of failing silently."""
     global _ENABLED
+    if _CONSULTED and bool(v) != _ENABLED:
+        import warnings
+
+        warnings.warn(
+            "phase_upsample.set_enabled() called after the flag was "
+            "already consulted by a model trace; already-compiled "
+            "(cached) step/apply functions keep the OLD setting. Toggle "
+            "before building any jitted function.",
+            stacklevel=2,
+        )
     _ENABLED = bool(v)
 
 
 def enabled() -> bool:
+    global _CONSULTED
+    _CONSULTED = True
     return _ENABLED
+
+
+_CONSULTED = False
 
 
 def fusable(kernel_size: int, blur_taps, pad) -> bool:

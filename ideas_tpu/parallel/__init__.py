@@ -157,14 +157,25 @@ def reduce_loss_dict(losses: dict, axis_name: str = DATA_AXIS) -> dict:
     return {k: jax.lax.pmean(v, axis_name) for k, v in losses.items()}
 
 
-def maybe_initialize_distributed():
-    """Multi-host init (no-op on a single host)."""
-    if jax.process_count() > 1:
-        return  # already initialized
-    try:
-        import os
+def maybe_initialize_distributed() -> bool:
+    """Multi-host init (the `init_process_group` analogue,
+    `/root/reference/stylegan2/train.py:370-373`). Returns True iff
+    `jax.distributed.initialize()` was called.
 
-        if "JAX_COORDINATOR_ADDRESS" in os.environ or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ:
-            jax.distributed.initialize()
-    except Exception:
-        pass
+    Must run BEFORE anything touches the backend (`jax.devices()`,
+    `jax.process_count()`, any dispatch): those calls initialize the
+    local backend and make a later distributed init a no-op/error. So
+    the gate is coordinator env vars only — never a backend query — and
+    errors propagate (a half-initialized multi-host job must die loudly,
+    not limp on as 1-host)."""
+    import os
+
+    coordinator_vars = (
+        "JAX_COORDINATOR_ADDRESS",
+        "COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS",
+    )
+    if not any(v in os.environ for v in coordinator_vars):
+        return False  # single-host: plain local backend
+    jax.distributed.initialize()
+    return True

@@ -26,20 +26,23 @@ def generate(g, g_params, key, n_pics, n_sample, truncation, out_dir,
     if truncation < 1:
         key, sub = jax.random.split(key)
         # jit: eager model code remote-compiles op-by-op on the TPU relay.
+        # Params go in as jit *arguments*, not closure constants — a
+        # closed-over tree is baked into the traced program (extra device
+        # copy + larger remote-compile payload on the relay).
         mean_latent = jax.jit(
-            lambda k: g.apply(g_params, k, 4096, method=SG2Generator.mean_latent)
-        )(sub)
+            lambda p, k: g.apply(p, k, 4096, method=SG2Generator.mean_latent)
+        )(g_params, sub)
 
     @jax.jit
-    def sample(z):
-        img, _ = g.apply(g_params, [z], truncation=truncation,
-                         truncation_latent=mean_latent)
+    def sample(p, ml, z):
+        img, _ = g.apply(p, [z], truncation=truncation,
+                         truncation_latent=ml)
         return img
 
     for i in range(n_pics):
         key, sub = jax.random.split(key)
         z = jax.random.normal(sub, (n_sample, style_dim))
-        img = jax.device_get(sample(z))
+        img = jax.device_get(sample(g_params, mean_latent, z))
         save_image_grid(img, os.path.join(out_dir, f"{i:06d}.png"),
                         nrow=int(n_sample ** 0.5) or 1)
 

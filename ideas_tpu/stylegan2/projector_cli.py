@@ -60,14 +60,20 @@ def main(argv=None):
 
         lp_params = load_weights_npz("vgg", a.lpips_weights, a.lpips_linear)
     else:
-        print("WARNING: random-init LPIPS (pass --lpips-weights for quality)")
-        lp_params = jax.jit(lp.init)(jax.random.PRNGKey(0), target, target)
+        from ideas_tpu.eval.lpips import fixed_params
+
+        print("WARNING: fixed-seed LPIPS backbone + official lin heads "
+              "(pass --lpips-weights for the true metric)")
+        lp_params = fixed_params("vgg", target.shape[1])
     lpips_fn = lambda x, y: lp.apply(lp_params, x, y)
 
     key = jax.random.PRNGKey(1)
     key, sub = jax.random.split(key)
     z = jax.random.normal(sub, (a.n_mean_latent, cfg.style_dim))
-    w = jax.jit(lambda z: g.apply(g_params, z, method=SG2Generator.map_latent))(z)
+    # Params as jit args (closure constants bloat the remote-compile payload).
+    w = jax.jit(
+        lambda p, z: g.apply(p, z, method=SG2Generator.map_latent)
+    )(g_params, z)
     mean_latent = jnp.mean(w, 0, keepdims=True)
     # Reference `projector.py:62`: sum over ALL elements / n_mean_latent
     # (NOT a per-element mean — that would shrink the latent-noise

@@ -37,6 +37,16 @@ def newest_mtime(paths):
     return ts
 
 
+def total_size(paths):
+    n = 0
+    for p in paths:
+        try:
+            n += os.stat(p).st_size
+        except OSError:
+            pass
+    return n
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
@@ -82,6 +92,11 @@ def main(argv=None):
         child = subprocess.Popen(cmd, start_new_session=True)
         launch_t = time.time()
         progressed = False
+        # Progress = the watched logs GROW past their post-launch header.
+        # (Content-based, not wall-clock: a slow header under host-CPU
+        # contention must not count as progress, and a fast first
+        # iteration must. The logs are append-only by design.)
+        header_size = None
         while True:
             try:
                 rc = child.wait(timeout=a.poll_seconds)
@@ -93,11 +108,11 @@ def main(argv=None):
             except subprocess.TimeoutExpired:
                 pass
             last = newest_mtime(watch)
-            # The CLI writes its config/log header within seconds of
-            # launch; only a write AFTER that window counts as progress,
-            # otherwise a child that hangs post-header resets the
-            # restart counter forever and --max-restarts can never fire.
-            if last > launch_t + 60.0:
+            size = total_size(watch)
+            if header_size is None:
+                if last > launch_t and size > 0:
+                    header_size = size  # first post-launch write = header
+            elif size > header_size:
                 progressed = True
             # Startup grace: the config/log header is written immediately
             # at launch, then the log goes quiet through the first jit

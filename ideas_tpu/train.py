@@ -49,7 +49,10 @@ from ideas_tpu.losses import (
     patchify_image,
 )
 from ideas_tpu.models import init_model
-from ideas_tpu.stego import message_to_tensor, tensor_to_message
+from ideas_tpu.stego import (
+    message_from_tensor_nhwc,
+    tensor_nhwc_from_message,
+)
 
 G_GROUP = ("E", "G", "Gstru")
 EX_GROUP = ("Ex",)
@@ -348,7 +351,7 @@ class Trainer:
         return train_step
 
     def train_step_fn(self, do_r1: bool, donate: bool = False,
-                      device_data_fn=None):
+                      device_data_fn=None, data_fn_tag: str = None):
         """Compiled step. `donate=True` donates the input state's buffers
         (halves peak memory in the production loop; leave False when the
         caller still needs the old state, e.g. tests).
@@ -358,8 +361,16 @@ class Trainer:
         data/device_synthetic.py): the returned step takes `state` only,
         draws the batch from `state.rng`, and performs zero host->device
         transfer per iteration — the relay transfer of an fp32 256^2
-        batch otherwise costs ~142 ms/step (PERF.md)."""
-        cache_key = (do_r1, donate, id(device_data_fn))
+        batch otherwise costs ~142 ms/step (PERF.md).
+
+        `device_data_fn` must be a STABLE callable across calls — the
+        cache keys on its identity, and a fresh lambda per call means a
+        fresh multi-minute remote recompile each time. Callers that
+        can't keep one callable alive pass `data_fn_tag` (a stable name)
+        to key the cache instead."""
+        cache_key = (do_r1, donate,
+                     data_fn_tag if data_fn_tag is not None
+                     else id(device_data_fn))
         if cache_key not in self._step_fns:
             inner = self.build_train_step(do_r1)
             if device_data_fn is None:
@@ -412,8 +423,8 @@ class Trainer:
 
         @jax.jit
         def fn(ema, message, texture, key):
-            z = message_to_tensor(message, sigma=sigma, delta=delta, key=key)
-            z = z.reshape(message.shape[0], res, res, cfg.N)
+            z = tensor_nhwc_from_message(message, cfg.N, res,
+                                         sigma=sigma, delta=delta, key=key)
             s2 = self.models["Gstru"].apply(ema["Gstru"], z)
             img = self.models["G"].apply(ema["G"], s2, texture)
             return img, z
@@ -428,7 +439,7 @@ class Trainer:
         def fn(ema, image):
             s2_hat, _ = self.models["E"].apply(ema["E"], image)
             z_hat = self.models["Ex"].apply(ema["Ex"], s2_hat)
-            msg = tensor_to_message(z_hat.reshape(z_hat.shape[0], -1), sigma=sigma)
+            msg = message_from_tensor_nhwc(z_hat, sigma=sigma)
             return msg, z_hat
 
         key = ("reveal", sigma)
@@ -462,7 +473,10 @@ class Trainer:
             @jax.jit
             def fn(ema, key, step, x):
                 k1, k2, k3 = jax.random.split(key, 3)
-                b = cfg.batch_size
+                # Batch comes from the input when one is given (serving
+                # checkpoints are evaluated at whatever batch the caller
+                # has); cfg.batch_size only seeds the x=None path.
+                b = cfg.batch_size if x is None else x.shape[0]
                 msg = jax.random.bernoulli(
                     k1, 0.5, (b, cfg.N * res * res)
                 ).astype(jnp.float32)
@@ -475,13 +489,13 @@ class Trainer:
                     texture = jnp.where(use_x3, t2, t1)
                 else:
                     texture = t2
-                z = message_to_tensor(msg, sigma=1, delta=0.5, key=k3)
-                z = z.reshape(b, res, res, cfg.N)
+                z = tensor_nhwc_from_message(msg, cfg.N, res,
+                                             sigma=1, delta=0.5, key=k3)
                 s2 = self.models["Gstru"].apply(ema["Gstru"], z)
                 img = self.models["G"].apply(ema["G"], s2, texture)
                 s2_hat, _ = self.models["E"].apply(ema["E"], img)
                 z_hat = self.models["Ex"].apply(ema["Ex"], s2_hat)
-                msg_hat = tensor_to_message(z_hat.reshape(b, -1), sigma=1)
+                msg_hat = message_from_tensor_nhwc(z_hat, sigma=1)
                 ber = jnp.mean(jnp.abs(msg - msg_hat))
                 tensor_l1 = jnp.mean(jnp.abs(z_hat - z))
                 return {"ACC": 1.0 - ber, "tensor_L1": tensor_l1}
