@@ -39,6 +39,20 @@ def _lin_w(a):  # torch (out, in) -> (in, out)
     return np.transpose(a, (1, 0))
 
 
+def _lin_w_chw(a, h: int, w: int):
+    """Linear weight whose input is a FLATTENED FEATURE MAP.
+
+    torch flattens NCHW channel-major (`models.py:373,423`); our NHWC
+    models flatten h-major — so the input axis must be permuted
+    (C,h,w) -> (h,w,C), not just transposed. (out, C*h*w) -> (h*w*C, out).
+    For h = w = 1 this degenerates to `_lin_w`."""
+    out_dim, in_total = a.shape
+    c = in_total // (h * w)
+    return np.transpose(
+        a.reshape(out_dim, c, h, w), (2, 3, 1, 0)
+    ).reshape(h * w * c, out_dim)
+
+
 def _conv_layer(sd: Dict[str, np.ndarray], prefix: str, *, pad_module: bool,
                 has_blur: bool, upsample: bool, activate_bias: bool,
                 conv_bias: bool = False) -> dict:
@@ -174,6 +188,9 @@ def convert_dreal(sd, n_res: int) -> dict:
                                   has_blur=False, upsample=False,
                                   activate_bias=True)
     p["final_linear0"] = _equal_linear(sd, "final_linear.0")
+    # final_conv output is 4x4 spatial (`models.py:363-365`): permute the
+    # channel-major torch flatten to our h-major NHWC flatten.
+    p["final_linear0"]["weight"] = _lin_w_chw(sd["final_linear.0.weight"], 4, 4)
     p["final_linear1"] = _equal_linear(sd, "final_linear.1")
     return p
 
@@ -190,6 +207,13 @@ def convert_dco(sd) -> dict:
                                  activate_bias=True)
     for i in range(4):
         p[f"lin{i}"] = _equal_linear(sd, f"linear.{i}")
+    # lin0's input is the flattened (input-feat ++ ref-feat) map. 1x1
+    # spatial below 512^2 (no-op); 2x2 at >=512^2 (`models.py:392-398`)
+    # where the NCHW->NHWC flatten-order permutation matters.
+    ch12 = sd["encoder.7.0.weight"].shape[0]
+    feat = sd["linear.0.weight"].shape[1] // (2 * ch12)
+    hw = int(round(feat ** 0.5))
+    p["lin0"]["weight"] = _lin_w_chw(sd["linear.0.weight"], hw, hw)
     return p
 
 
@@ -250,6 +274,7 @@ def check_against_models(converted: Dict[str, dict], image_size: int,
                       texture_channel=texture_channel,
                       structure_channel=structure_channel)
     res = image_size // 16
+    patch = image_size // 4
     inputs = {
         "E": (jnp.zeros((1, image_size, image_size, 3)),),
         "G": (jnp.zeros((1, res, res, cfg.structure_channel)),
@@ -258,11 +283,14 @@ def check_against_models(converted: Dict[str, dict], image_size: int,
         "Ex": (jnp.zeros((1, res, res, cfg.structure_channel)),),
         "Ddist": (jnp.zeros((1, cfg.texture_channel)),),
         "Dreal": (jnp.zeros((1, image_size, image_size, 3)),),
+        "Dco": (jnp.zeros((1, patch, patch, 3)),
+                jnp.zeros((2, patch, patch, 3)), 2),
     }
     names = {"E": "DisentanglementEncoder", "G": "Generator",
              "Gstru": "StructureGenerator", "Ex": "TensorExtractor",
              "Ddist": "DistributionDiscriminator",
-             "Dreal": "ImageLevelDiscriminator"}
+             "Dreal": "ImageLevelDiscriminator",
+             "Dco": "CooccurenceDiscriminator"}
     for slot, model_name in names.items():
         if slot not in converted:
             continue

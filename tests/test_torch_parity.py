@@ -1,0 +1,198 @@
+"""Numerical converter parity against a torch oracle.
+
+The reference proves its weight converter by running both frameworks on
+identical inputs and comparing outputs
+(`/root/reference/stylegan2/convert_weight.py:243-278`). Same here: build
+each reference net as a torch module (tests/torch_oracle.py — reference
+structure + math, torch-authentic state_dict naming), randomize its
+parameters, convert the state_dict with `tools/convert_torch_ckpt`, and
+assert the flax forward equals the torch forward.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from ideas_tpu.config import TrainConfig
+from ideas_tpu.models import init_model
+from ideas_tpu.nn.layers import ConvLayer as FlaxConvLayer
+from ideas_tpu.nn.layers import StyledResBlock as FlaxStyledResBlock
+from ideas_tpu.tools import convert_torch_ckpt as cc
+from tests import torch_oracle as oracle
+
+
+def _randomize(mod, seed):
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in mod.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.5)
+    return mod
+
+
+def _sd(mod, prefix=""):
+    return {f"{prefix}{k}": v.detach().numpy() for k, v in mod.state_dict().items()}
+
+
+def _nhwc(t):
+    return jnp.asarray(np.transpose(t.detach().numpy(), (0, 2, 3, 1)))
+
+
+def _assert_close(flax_out, torch_out_nchw, tol=2e-4):
+    want = np.transpose(torch_out_nchw.detach().numpy(), (0, 2, 3, 1)) \
+        if torch_out_nchw.ndim == 4 else torch_out_nchw.detach().numpy()
+    np.testing.assert_allclose(np.asarray(flax_out), want, rtol=tol, atol=tol)
+
+
+CONV_LAYER_VARIANTS = [
+    # (kernel, dict(flags)) — every composition path of models.py:49-134
+    dict(k=3, padding="zero"),
+    dict(k=3, padding="reflect"),
+    dict(k=2, padding="valid"),
+    dict(k=1, padding="zero", tanh=True),
+    dict(k=3, downsample=True),
+    dict(k=1, upsample=True, bias=False, activate=False),  # StyledResBlock skip
+    dict(k=1, downsample=True, bias=False, activate=False),  # ResBlock skip
+    dict(k=1, bias=True, activate=False),  # to_rgb
+    dict(k=3, bias=False, activate=True),  # ScaledLeakyReLU tail
+]
+
+
+@pytest.mark.parametrize("variant", CONV_LAYER_VARIANTS,
+                         ids=[str(i) for i in range(len(CONV_LAYER_VARIANTS))])
+def test_conv_layer_variants(variant):
+    v = {**dict(padding="zero", upsample=False, downsample=False, bias=True,
+                activate=True, tanh=False), **variant}
+    k = v.pop("k")
+    in_ch, out_ch = 6, 8
+    tm = _randomize(oracle.ConvLayer(in_ch, out_ch, k, **v), seed=k * 31)
+    holder = torch.nn.Module()
+    holder.L = tm
+
+    x = torch.randn(2, in_ch, 16, 16, generator=torch.Generator().manual_seed(7))
+    with torch.no_grad():
+        want = tm(x)
+
+    conv = cc._conv_layer(
+        _sd(holder), "L",
+        pad_module=(v["padding"] == "reflect" and k > 1),
+        has_blur=v["downsample"],
+        upsample=v["upsample"],
+        activate_bias=(v["activate"] and v["bias"] and not v["tanh"]),
+        conv_bias=(v["bias"] and not v["activate"]),
+    )
+    fm = FlaxConvLayer(out_ch, k, upsample=v["upsample"],
+                       downsample=v["downsample"], use_bias=v["bias"],
+                       activate=v["activate"], padding=v["padding"],
+                       tanh=v["tanh"])
+    got = fm.apply({"params": conv}, _nhwc(x))
+    _assert_close(got, want)
+
+
+@pytest.mark.parametrize("upsample,in_ch,out_ch",
+                         [(False, 8, 8), (False, 8, 12), (True, 8, 12)])
+def test_styled_res_block(upsample, in_ch, out_ch):
+    style_dim = 16
+    tm = _randomize(oracle.StyledResBlock(in_ch, out_ch, style_dim, upsample),
+                    seed=11)
+    holder = torch.nn.Module()
+    holder.B = tm
+    sd = _sd(holder)
+
+    g = torch.Generator().manual_seed(3)
+    x = torch.randn(2, in_ch, 8, 8, generator=g)
+    s = torch.randn(2, style_dim, generator=g)
+    with torch.no_grad():
+        want = tm(x, s)
+
+    conv = {"conv1": cc._styled_conv(sd, "B.conv1"),
+            "conv2": cc._styled_conv(sd, "B.conv2")}
+    if any(key.startswith("B.skip.") for key in sd):
+        conv["skip"] = cc._conv_layer(sd, "B.skip", pad_module=False,
+                                      has_blur=False, upsample=upsample,
+                                      activate_bias=False)
+    fm = FlaxStyledResBlock(out_ch, upsample=upsample)
+    got = fm.apply({"params": conv}, _nhwc(x), jnp.asarray(s.numpy()))
+    _assert_close(got, want)
+
+
+CFG = TrainConfig(image_size=64, channel=4, N=1, texture_channel=64,
+                  structure_channel=8)
+
+
+def _full_model_case(name):
+    g = torch.Generator().manual_seed(101)
+    res = CFG.image_size // 16
+    if name == "E":
+        tm = oracle.DisentanglementEncoder(CFG.channel, CFG.structure_channel,
+                                           CFG.texture_channel)
+        args = (torch.randn(2, 3, CFG.image_size, CFG.image_size, generator=g),)
+        return tm, cc.convert_encoder, "DisentanglementEncoder", args
+    if name == "G":
+        tm = oracle.Generator(CFG.channel, CFG.structure_channel,
+                              CFG.texture_channel)
+        args = (torch.randn(2, CFG.structure_channel, res, res, generator=g),
+                torch.randn(2, CFG.texture_channel, generator=g))
+        return tm, cc.convert_generator, "Generator", args
+    if name == "Gstru":
+        tm = oracle.StructureGenerator(CFG.channel, CFG.N, CFG.structure_channel)
+        args = (torch.randn(2, CFG.N, res, res, generator=g),)
+        return tm, cc.convert_structure_generator, "StructureGenerator", args
+    if name == "Ex":
+        tm = oracle.TensorExtractor(CFG.channel, CFG.N, CFG.structure_channel)
+        args = (torch.randn(2, CFG.structure_channel, res, res, generator=g),)
+        return tm, cc.convert_extractor, "TensorExtractor", args
+    if name == "Dreal":
+        tm = oracle.ImageLevelDiscriminator(CFG.image_size)
+        conv = lambda sd: cc.convert_dreal(
+            sd, int(math.log2(CFG.image_size)) - 2)
+        args = (torch.randn(1, 3, CFG.image_size, CFG.image_size, generator=g),)
+        return tm, conv, "ImageLevelDiscriminator", args
+    if name == "Ddist":
+        tm = oracle.DistributionDiscriminator(CFG.texture_channel)
+        args = (torch.randn(2, CFG.texture_channel, generator=g),)
+        return tm, cc.convert_ddist, "DistributionDiscriminator", args
+    raise KeyError(name)
+
+
+@pytest.mark.parametrize("name", ["E", "G", "Gstru", "Ex", "Dreal", "Ddist"])
+def test_full_model_parity(name):
+    tm, convert, flax_name, args = _full_model_case(name)
+    _randomize(tm, seed=hash(name) % 2 ** 31)
+    with torch.no_grad():
+        want = tm(*args)
+    params = convert(_sd(tm))
+    fm = init_model(flax_name, CFG)
+    jargs = tuple(_nhwc(a) if a.ndim == 4 else jnp.asarray(a.numpy())
+                  for a in args)
+    got = jax.jit(lambda *a: fm.apply({"params": params}, *a))(*jargs)
+    if isinstance(want, tuple):
+        for gg, ww in zip(got, want):
+            _assert_close(gg, ww, tol=5e-4)
+    else:
+        _assert_close(got, want, tol=5e-4)
+
+
+def test_dco_parity():
+    """Dco — the net the round-1 --check omitted — at the paper 256^2
+    geometry (64^2 patches, 5 downsampling ResBlocks, 1x1 head)."""
+    tm = _randomize(oracle.CooccurenceDiscriminator(channel=4, size=256),
+                    seed=42)
+    g = torch.Generator().manual_seed(5)
+    x = torch.randn(2, 3, 64, 64, generator=g)
+    ref = torch.randn(4, 3, 64, 64, generator=g)
+    with torch.no_grad():
+        want = tm(x, ref, ref_batch=2)
+    params = cc.convert_dco(_sd(tm))
+    cfg = TrainConfig(image_size=256, channel=4, N=1, texture_channel=64,
+                      structure_channel=8)
+    fm = init_model("CooccurenceDiscriminator", cfg)
+    got, _ = jax.jit(
+        lambda a, r: fm.apply({"params": params}, a, r, ref_batch=2)
+    )(_nhwc(x), _nhwc(ref))
+    _assert_close(got, want, tol=5e-4)
