@@ -22,17 +22,15 @@ import numpy as np
 
 def _feature_fn(inception_path, size):
     from ideas_tpu.eval import fid as fid_lib
-    from ideas_tpu.eval.inception import InceptionV3Features, load_params_npz
+    from ideas_tpu.eval.inception import fixed_params, load_params_npz
 
     if inception_path:
         params = load_params_npz(inception_path)
     else:
-        print("WARNING: no --inception weights; using random init "
-              "(relative FID only, NOT comparable to paper numbers)")
-        model = InceptionV3Features()
-        params = jax.jit(model.init)(
-            jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3))
-        )
+        print("WARNING: no --inception weights; using the fixed-seed "
+              "extractor (relative FID only, NOT comparable to paper "
+              "numbers — see PERF.md 'FID provenance')")
+        params = fixed_params(size)
     return fid_lib.make_feature_fn(params)
 
 

@@ -9,10 +9,13 @@ InceptionE block replaces its pooling branch with max-pool
 
 Weights: the reference downloads TF-ported weights (`inception.py:13`);
 this environment has no network egress, so `load_params_npz` loads a
-converted `.npz` (torch state_dict names -> arrays, converted offline
-with `tools/convert_inception.py`). Random init still yields a valid
-feature extractor for *relative* FID smoke tests; absolute FID parity
-with the paper requires the ported weights.
+converted `.npz` (torch state_dict names -> arrays; produce one with
+`python -m ideas_tpu.tools.convert_pretrained inception --pth
+pt_inception-2015-12-05-6726825d.pth --out inception.npz` wherever the
+.pth is available). Until then `fixed_params` gives a deterministic
+fixed-seed feature extractor: *relative* FID trajectories are
+reproducible and comparable across checkpoints, but NOT comparable to
+the paper's absolute numbers (see PERF.md "FID provenance").
 """
 
 from __future__ import annotations
@@ -187,6 +190,19 @@ class InceptionV3Features(nn.Module):
         x = InceptionE(name="Mixed_7b")(x)
         x = InceptionE(use_max_pool=True, name="Mixed_7c")(x)
         return jnp.mean(x, axis=(1, 2))  # global average pool -> (B, 2048)
+
+
+def fixed_params(image_size: int = 64):
+    """Deterministic fixed-seed InceptionV3 params (PRNGKey(0) init).
+
+    The documented fallback while the real FID-Inception weights are
+    unobtainable offline: stable across runs and processes, so FID
+    trajectories computed with it are self-consistent — but absolute
+    values are NOT comparable to the paper. Provenance: PERF.md."""
+    model = InceptionV3Features()
+    return jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, image_size, image_size, 3))
+    )
 
 
 def load_params_npz(path: str):

@@ -4,9 +4,15 @@ unit-normalize per channel, squared difference, learned 1x1 linear heads,
 spatial average, summed over layers (`networks_basic.py:27-92`).
 
 Backbones: VGG16 and AlexNet feature stacks are defined here in flax;
-weights load from converted .npz files (`load_backbone_npz`,
-`load_linear_npz` — no network egress in this environment). Without
-weights the module still runs (random init) for wiring tests.
+weights load from converted .npz files. The official net-lin LINEAR-HEAD
+weights (the reference vendors them,
+`/root/reference/stylegan2/lpips/weights/v0.1/{vgg,alex}.pth`) are
+converted and packaged at `eval/weights/lpips_lin_<net>.npz` —
+`load_packaged_linears` merges them over any backbone params. The
+BACKBONE weights (torchvision vgg16/alexnet pretrained) are NOT
+obtainable in this zero-egress environment; without them the module
+runs with a fixed-seed random backbone — deterministic and usable for
+relative comparisons, but NOT equal to the paper's LPIPS numbers.
 """
 
 from __future__ import annotations
@@ -108,6 +114,38 @@ class LPIPS(nn.Module):
             d = self.lins[i](d)  # learned per-channel weights (>=0 in ckpt)
             total = total + jnp.mean(d, axis=(1, 2, 3))
         return total
+
+
+def packaged_linear_path(net: str) -> str:
+    """Path of the committed official lin-head weights for `net`."""
+    import os
+
+    return os.path.join(os.path.dirname(__file__), "weights",
+                        f"lpips_lin_{net}.npz")
+
+
+def load_packaged_linears(params, net: str):
+    """Overwrite the lin-head slots of an LPIPS param tree with the
+    official net-lin calibration weights (converted from the .pth files
+    the reference vendors). Backbone slots are left untouched."""
+    lraw = dict(np.load(packaged_linear_path(net)))
+    p = jax.tree.map(lambda a: a, params)  # shallow-ish copy
+    inner = p["params"] if "params" in p else p
+    for i in range(len(_CHANNELS[net])):
+        w = lraw[f"lin{i}.model.1.weight"]  # (1, C, 1, 1) OIHW
+        inner[f"lin{i}"] = {"kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0)))}
+    return p
+
+
+def fixed_params(net: str, image_size: int = 256):
+    """Deterministic LPIPS params: fixed-seed backbone + OFFICIAL lin
+    heads. NOT the paper metric (backbone weights unobtainable offline,
+    see module docstring) but stable across runs/processes, so relative
+    comparisons and PPL/projector trajectories are reproducible."""
+    model = LPIPS(net=net)
+    x = jnp.zeros((1, image_size, image_size, 3))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, x)
+    return load_packaged_linears(params, net)
 
 
 def load_weights_npz(net: str, backbone_path: str, linear_path: str):
