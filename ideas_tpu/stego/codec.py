@@ -50,6 +50,34 @@ def message_to_tensor(
     return tensor
 
 
+def tensor_nhwc_from_message(
+    message: jnp.ndarray,
+    N: int,
+    res: int,
+    sigma: int,
+    delta: float,
+    key: jax.Array | None = None,
+) -> jnp.ndarray:
+    """(B, N*res*res*sigma) bits -> (B, res, res, N) secret tensor.
+
+    Bit->position map matches the reference EXACTLY: the flat tensor is
+    laid out channel-major, ``Z.reshape(B, N, res, res)``
+    (`/root/reference/train.py:257`), then transposed to NHWC for our
+    models. For N=1 the transpose is a no-op; for N>=2 this is what
+    keeps messages bit-compatible with reference-converted checkpoints
+    (a plain NHWC reshape would scramble the bit->pixel assignment)."""
+    z = message_to_tensor(message, sigma=sigma, delta=delta, key=key)
+    return z.reshape(message.shape[0], N, res, res).transpose(0, 2, 3, 1)
+
+
+def message_from_tensor_nhwc(z: jnp.ndarray, sigma: int) -> jnp.ndarray:
+    """(B, res, res, N) extracted tensor -> (B, N*res*res*sigma) bits —
+    inverse of `tensor_nhwc_from_message`'s layout (the reference's
+    NCHW c-major flatten, `/root/reference/train.py:281`)."""
+    flat = z.transpose(0, 3, 1, 2).reshape(z.shape[0], -1)
+    return tensor_to_message(flat, sigma=sigma)
+
+
 def tensor_to_message(tensor: jnp.ndarray, sigma: int) -> jnp.ndarray:
     """(B, G) floats -> (B, G*sigma) bits in {0,1} (MSB-first per group)."""
     b, groups = tensor.shape

@@ -52,3 +52,25 @@ def test_bit_interleaving_matches_reference_layout():
     step = 0.5
     want = [[step * 2.5 - 1.0, step * 1.5 - 1.0]]
     np.testing.assert_allclose(np.asarray(z), want, atol=1e-7)
+
+
+def test_nhwc_layout_matches_reference_channel_major():
+    """N=2 bit->pixel map: the NHWC secret tensor must equal the
+    reference's `Z.reshape(B, N, res, res)` (`/root/reference/train.py:257`)
+    transposed to NHWC — a plain NHWC reshape would scramble N>=2."""
+    from ideas_tpu.stego import (message_from_tensor_nhwc,
+                                 tensor_nhwc_from_message)
+
+    N, res, B = 2, 4, 3
+    key = jax.random.PRNGKey(7)
+    bits = jax.random.bernoulli(
+        jax.random.PRNGKey(1), 0.5, (B, N * res * res)
+    ).astype(jnp.float32)
+    z = tensor_nhwc_from_message(bits, N, res, sigma=1, delta=0.5, key=key)
+    assert z.shape == (B, res, res, N)
+    flat = message_to_tensor(bits, sigma=1, delta=0.5, key=key)
+    want = flat.reshape(B, N, res, res).transpose(0, 2, 3, 1)
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(want))
+    # inverse recovers the exact message (jitter stays inside the bin)
+    out = message_from_tensor_nhwc(z, sigma=1)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(bits))
