@@ -48,6 +48,7 @@ class TrainConfig:
     remat: bool = False  # rematerialize generator blocks (memory for FLOPs)
     num_data_devices: int = 0  # 0 = use all visible devices (data parallel)
     num_spatial_devices: int = 1  # >1: shard image height over a 2nd mesh axis
+    synthetic_family: str = "default"  # 'default' | 'rich' (device_synthetic)
     experiments_dir: str = "experiments"
     ema_halflife_kimg: float = 10.0  # accum = 0.5 ** (32/(10*1000)), train.py:30
 

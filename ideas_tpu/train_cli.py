@@ -46,6 +46,10 @@ def parse_args(argv=None) -> TrainConfig:
         p.add_argument(f"--{name}", type=int, default=getattr(defaults, name))
     for name in ("lambda_Ex", "lr", "real_r1", "texture_r1", "dist_r1"):
         p.add_argument(f"--{name}", type=float, default=getattr(defaults, name))
+    p.add_argument("--synthetic_family", choices=["default", "rich"],
+                   default=defaults.synthetic_family,
+                   help="on-device synthetic image family "
+                        "(rich = higher structure entropy)")
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--experiments_dir", type=str, default=defaults.experiments_dir)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
@@ -118,7 +122,8 @@ def main(cfg: TrainConfig) -> None:
         )
 
         loader = None
-        data_fn = make_device_data_fn(cfg.batch_size, cfg.image_size)
+        data_fn = make_device_data_fn(cfg.batch_size, cfg.image_size,
+                                      family=cfg.synthetic_family)
         step_plain = trainer.train_step_fn(
             do_r1=False, donate=True, device_data_fn=data_fn)
         step_r1 = trainer.train_step_fn(
@@ -198,7 +203,8 @@ def main(cfg: TrainConfig) -> None:
             key, k1, k2 = jax.random.split(key, 3)
             if device_data:
                 key, kx = jax.random.split(key)
-                x = synthetic_batch(kx, cfg.batch_size, cfg.image_size)
+                x = synthetic_batch(kx, cfg.batch_size, cfg.image_size,
+                                    0, cfg.synthetic_family)
             else:
                 x = to_float(*x)
             ev = {k: float(v) for k, v in

@@ -42,3 +42,24 @@ def test_train_step_with_device_data_fn():
     assert np.isfinite(float(metrics["Loss_total"]))
     # rng advanced (data key consumed + step's own split)
     assert not np.array_equal(np.asarray(new_state.rng), np.asarray(state.rng))
+
+
+def test_rich_family_traces_and_is_higher_entropy():
+    """'rich' family (round-2 delta-experiment): rasterizes in-trace,
+    stays in [-1, 1], and carries more boundary structure than the
+    default family (edge-density proxy)."""
+    import numpy as np
+
+    from ideas_tpu.data.device_synthetic import synthetic_batch
+
+    rich = np.asarray(synthetic_batch(jax.random.PRNGKey(0), 4, 64, 0, "rich"))
+    base = np.asarray(synthetic_batch(jax.random.PRNGKey(0), 4, 64))
+    assert rich.shape == base.shape == (4, 64, 64, 3)
+    assert rich.min() >= -1.0 and rich.max() <= 1.0
+    assert np.isfinite(rich).all()
+
+    def edge_density(a):
+        return (np.abs(np.diff(a, axis=1)).mean()
+                + np.abs(np.diff(a, axis=2)).mean())
+
+    assert edge_density(rich) > edge_density(base)
