@@ -67,6 +67,48 @@ def _blur_kernel(x_ref, o_ref, scratch, sem, *, taps_y, taps_x, hb, k):
     o_ref[0] = out
 
 
+def _blur_epilogue_kernel(x_ref, scale_ref, bias_ref, o_ref, scratch, sem,
+                          *, taps_y, taps_x, hb, k):
+    """Blur + the StyledConv up-path epilogue in the same VMEM pass:
+    out = leaky_relu(blur(x) * scale[n, c] + bias[c], 0.2) * sqrt(2).
+
+    `scale` is the per-(sample, out-channel) demodulation coefficient
+    (ModulatedConv2d), `bias` the FusedLeakyReLU bias — the XLA path
+    spends separate elementwise HBM round trips on them after the two
+    depthwise blur convs."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = pl.program_id(0)
+    hi = pl.program_id(1)
+    ci = pl.program_id(2)
+    cb = scratch.shape[-1]
+    w_out = o_ref.shape[2]
+
+    dma = pltpu.make_async_copy(
+        x_ref.at[n, pl.ds(hi * hb, hb + k - 1), :, pl.ds(ci * cb, cb)],
+        scratch,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+
+    x = scratch[...]
+    dt = x.dtype
+    acc = x[0:hb] * jnp.asarray(taps_y[0], dt)
+    for j in range(1, k):
+        acc = acc + x[j : j + hb] * jnp.asarray(taps_y[j], dt)
+    out = acc[:, 0:w_out] * jnp.asarray(taps_x[0], dt)
+    for j in range(1, k):
+        out = out + acc[:, j : j + w_out] * jnp.asarray(taps_x[j], dt)
+    # epilogue: demod scale, bias, scaled leaky relu
+    s = scale_ref[0]  # (cb,) — the (n, ci) block
+    b = bias_ref[0]   # (cb,)
+    y = out * s[None, None, :] + b[None, None, :]
+    y = jnp.where(y >= 0, y, y * jnp.asarray(0.2, dt))
+    o_ref[0] = y * jnp.asarray(2.0 ** 0.5, dt)
+
+
 def _blur_fwd_impl(x, taps_y, taps_x, pad):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -125,6 +167,72 @@ def _blur_fwd_impl(x, taps_y, taps_x, pad):
         ],
         interpret=_use_interpret(),
     )(xp)
+    return out[:, :h_out]
+
+
+def blur2d_bias_act_pallas(x, scale, bias, taps_y: Sequence[float],
+                           taps_x: Sequence[float], pad: Tuple[int, int]):
+    """Forward-only fused blur + demod-scale + bias + scaled-leaky-relu.
+
+    The measurement candidate from PERF.md ("Pallas fused
+    blur+bias+lrelu epilogue"): one VMEM pass for what the XLA path does
+    in two depthwise convs plus a fused elementwise pass. Forward only —
+    the epilogue is nonlinear, so adopting it on the training path would
+    need a custom_vjp; measure before investing (see PERF.md for the
+    verdict).
+
+    x: (N, H, W, C); scale: (N, C); bias: (C,)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, w, c = x.shape
+    k = len(taps_y)
+    p0, p1 = pad
+    taps_y = tuple(float(t) for t in taps_y[::-1])
+    taps_x = tuple(float(t) for t in taps_x[::-1])
+    h_out = h + p0 + p1 - k + 1
+    w_out = w + p0 + p1 - k + 1
+    w_pad = w + p0 + p1
+    w_align = (-w_pad) % 8
+    xp = jnp.pad(x, ((0, 0), (p0, p1), (p0, p1 + w_align), (0, 0)))
+
+    cb = min(c, 128)
+    if c % cb:
+        cb = c
+    itemsize = jnp.dtype(x.dtype).itemsize
+    budget_rows = (2 ** 20) // max(1, (w_pad + w_align) * cb * itemsize)
+    hb = max(8, (budget_rows // 8) * 8)
+    hb = min(hb, max(8, h_out), 64)
+    n_h = -(-h_out // hb)
+    h_pad_needed = n_h * hb + k - 1
+    if xp.shape[1] < h_pad_needed:
+        xp = jnp.pad(xp, ((0, 0), (0, h_pad_needed - xp.shape[1]), (0, 0), (0, 0)))
+
+    grid = (n, n_h, c // cb)
+    out = pl.pallas_call(
+        functools.partial(
+            _blur_epilogue_kernel, taps_y=taps_y, taps_x=taps_x, hb=hb, k=k,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, n_h * hb, w_out, c), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, cb), lambda ni, hi, ci: (ni, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb), lambda ni, hi, ci: (0, ci),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hb, w_out, cb),
+            lambda ni, hi, ci: (ni, hi, 0, ci),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hb + k - 1, xp.shape[2], cb), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=_use_interpret(),
+    )(xp, scale.astype(x.dtype), bias[None, :].astype(x.dtype))
     return out[:, :h_out]
 
 

@@ -53,3 +53,21 @@ def test_double_gradient_finite():
 
     gg = jax.grad(penalty)(x)
     assert np.isfinite(np.asarray(gg)).all()
+
+
+def test_epilogue_matches_xla_composition():
+    """blur2d_bias_act_pallas == blur -> *scale -> +bias -> lrelu*sqrt(2)."""
+    from ideas_tpu.ops.pallas_blur import blur2d_bias_act_pallas
+
+    rng = np.random.default_rng(2)
+    shape = (2, 16, 16, 8)
+    pad = (2, 1)
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    scale = jnp.asarray(rng.standard_normal((2, 8)).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal((8,)).astype(np.float32))
+    got = blur2d_bias_act_pallas(x, scale, bias, TAPS, TAPS, pad)
+    y = upfirdn2d(x, jnp.asarray(TAPS), up=1, down=1, pad=pad)
+    y = y * scale[:, None, None, :] + bias
+    want = jnp.where(y >= 0, y, 0.2 * y) * np.sqrt(2.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
