@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import json
 import os
 import time
 from typing import Optional
@@ -85,11 +86,21 @@ def main(cfg: TrainConfig) -> None:
     # Append-only (like the reference's training_logs.txt): restarts —
     # e.g. by tools/supervise.py after a relay stall — keep the history.
     log_path = os.path.join(base_dir, "training_logs.txt")
+    # Structured experiment tracking (the reference's wandb side channel,
+    # `/root/reference/stylegan2/train.py:296-310`, without a server):
+    # one JSON object per event, machine-readable for plotting/analysis.
+    metrics_path = os.path.join(base_dir, "metrics.jsonl")
 
     def log(msg: str):
         print(msg, flush=True)
         with open(log_path, "a") as fp:
             fp.write(msg + "\n")
+
+    def log_metrics(event: str, iter_idx: int, values: dict):
+        rec = {"event": event, "iter": iter_idx, "time": time.time()}
+        rec.update({k: float(v) for k, v in values.items()})
+        with open(metrics_path, "a") as fp:
+            fp.write(json.dumps(rec) + "\n")
 
     mesh = parallel.make_mesh(cfg.num_data_devices,
                               spatial_devices=cfg.num_spatial_devices)
@@ -198,6 +209,7 @@ def main(cfg: TrainConfig) -> None:
                 f"used time: {time_change(used)}; "
                 f"rest time: {time_change(rest)}"
             )
+            log_metrics("train", iter_idx, {**m, "imgs_per_sec": ips})
 
         if iter_idx % cfg.show_every == 0:
             key, k1, k2 = jax.random.split(key, 3)
@@ -216,6 +228,7 @@ def main(cfg: TrainConfig) -> None:
                 f"ACC of Msg: {ev['ACC']:.4f}; "
                 f"L1 loss of tensor: {ev['tensor_L1']:.4f}"
             )
+            log_metrics("eval", iter_idx, ev)
             _save_samples(trainer, state, x, k2, sample_dir, iter_idx, cfg)
 
         if iter_idx % cfg.save_every == 0 or iter_idx == cfg.num_iters:
