@@ -11,17 +11,44 @@ import jax
 import jax.numpy as jnp
 
 
+def _cfg_from_experiment(exp_dir):
+    """Rebuild the TrainConfig from the experiment's training_config.txt
+    (so N=2 / non-default runs evaluate with their own geometry)."""
+    import os
+
+    from ideas_tpu.config import TrainConfig
+
+    over = {}
+    path = os.path.join(exp_dir, "training_config.txt")
+    want = {"image_size": int, "channel": int, "batch_size": int, "N": int,
+            "texture_channel": int, "structure_channel": int,
+            "num_iters": int, "channel_multiplier": int}
+    if os.path.exists(path):
+        for line in open(path):
+            k, _, v = line.partition(":")
+            k, v = k.strip(), v.strip()
+            if k in want:
+                over[k] = want[k](v)
+            if k == "compute_dtype" and "bfloat16" in v:
+                over["compute_dtype"] = jnp.bfloat16
+    else:
+        print(f"WARNING: {path} missing; using paper-256 defaults")
+        over = dict(image_size=256, channel=32, batch_size=8,
+                    compute_dtype=jnp.bfloat16, num_iters=80000)
+    return TrainConfig(**over)
+
+
 def main():
     exp_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/exp/paper256dev"
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 
     from ideas_tpu.checkpoint import CheckpointManager
-    from ideas_tpu.config import TrainConfig
     from ideas_tpu.eval.metrics import extraction_accuracy_sweep
     from ideas_tpu.train import Trainer
 
-    cfg = TrainConfig(image_size=256, channel=32, batch_size=8,
-                      compute_dtype=jnp.bfloat16, num_iters=80000)
+    cfg = _cfg_from_experiment(exp_dir)
+    print(f"config: size={cfg.image_size} channel={cfg.channel} "
+          f"N={cfg.N} batch={cfg.batch_size} dtype={cfg.compute_dtype}")
     trainer = Trainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
     manager = CheckpointManager(f"{exp_dir}/checkpoints")
