@@ -196,3 +196,37 @@ def test_dco_parity():
         lambda a, r: fm.apply({"params": params}, a, r, ref_batch=2)
     )(_nhwc(x), _nhwc(ref))
     _assert_close(got, want, tol=5e-4)
+
+
+def test_inception_port_and_weight_loader(tmp_path):
+    """FID-Inception port vs a torch oracle with torchvision state_dict
+    naming: proves the flax topology (BN eval mode, TF-style avg pools,
+    the E2 max-pool patch) AND load_params_npz's name/layout mapping —
+    so when the real pt_inception .pth arrives, the conversion path is
+    already verified (SURVEY §4(f))."""
+    from ideas_tpu.eval.inception import InceptionV3Features, load_params_npz
+    from tests.torch_inception import FIDInceptionV3
+
+    tm = FIDInceptionV3().eval()
+    g = torch.Generator().manual_seed(3)
+    with torch.no_grad():
+        for name, p in tm.named_parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.1)
+        for name, b in tm.named_buffers():
+            if name.endswith("running_mean"):
+                b.copy_(torch.randn(b.shape, generator=g) * 0.1)
+            elif name.endswith("running_var"):
+                b.copy_(torch.rand(b.shape, generator=g) + 0.5)
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    npz = tmp_path / "incep.npz"
+    np.savez(npz, **sd)
+    params = load_params_npz(str(npz))
+
+    x = torch.randn(2, 3, 75, 75, generator=g)
+    with torch.no_grad():
+        want = tm(x).numpy()
+    model = InceptionV3Features(resize_input=False)
+    got = np.asarray(jax.jit(model.apply)(
+        params, jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
