@@ -230,3 +230,78 @@ def test_inception_port_and_weight_loader(tmp_path):
     got = np.asarray(jax.jit(model.apply)(
         params, jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+class _TorchVGGFeatures(torch.nn.Module):
+    """torchvision-vgg16 `features` layout (Sequential indices 0..30) so
+    state_dict keys match what `load_weights_npz` expects."""
+
+    def __init__(self):
+        super().__init__()
+        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+               512, 512, 512, "M", 512, 512, 512, "M"]
+        layers, in_c = [], 3
+        for v in cfg:
+            if v == "M":
+                layers.append(torch.nn.MaxPool2d(2, 2))
+            else:
+                layers += [torch.nn.Conv2d(in_c, v, 3, padding=1),
+                           torch.nn.ReLU()]
+                in_c = v
+        self.features = torch.nn.Sequential(*layers)
+
+    def forward(self, x):
+        taps = {3, 8, 15, 22, 29}  # relu1_2..relu5_3
+        feats = []
+        for i, m in enumerate(self.features):
+            x = m(x)
+            if i in taps:
+                feats.append(x)
+        return feats
+
+
+def test_lpips_port_and_loader(tmp_path):
+    """LPIPS vgg port vs a torch oracle (reference net-lin math,
+    `lpips/networks_basic.py:42-124`) using the REAL packaged lin-head
+    weights on both sides — proves the flax backbone taps, the
+    normalize/lin/average pipeline, and load_weights_npz's layout
+    mapping for a torchvision-format backbone npz."""
+    from ideas_tpu.eval.lpips import LPIPS, load_weights_npz, packaged_linear_path
+
+    tvgg = _TorchVGGFeatures().eval()
+    g = torch.Generator().manual_seed(9)
+    with torch.no_grad():
+        for p in tvgg.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+    sd = {k: v.detach().numpy() for k, v in tvgg.state_dict().items()}
+    backbone_npz = tmp_path / "vgg16.npz"
+    np.savez(backbone_npz, **sd)
+
+    lins = {k: torch.tensor(v) for k, v in
+            dict(np.load(packaged_linear_path("vgg"))).items()}
+
+    shift = torch.tensor([-.030, -.088, -.188])[None, :, None, None]
+    scale = torch.tensor([.458, .448, .450])[None, :, None, None]
+
+    def torch_lpips(x, y):
+        fx = tvgg((x - shift) / scale)
+        fy = tvgg((y - shift) / scale)
+        total = 0.0
+        for i, (a, b) in enumerate(zip(fx, fy)):
+            na = a / (a.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            nb = b / (b.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            d = (na - nb) ** 2
+            w = lins[f"lin{i}.model.1.weight"]
+            total = total + torch.nn.functional.conv2d(d, w).mean((1, 2, 3))
+        return total
+
+    x = torch.rand(2, 3, 64, 64, generator=g) * 2 - 1
+    y = torch.rand(2, 3, 64, 64, generator=g) * 2 - 1
+    with torch.no_grad():
+        want = torch_lpips(x, y).numpy()
+
+    params = load_weights_npz("vgg", str(backbone_npz),
+                              packaged_linear_path("vgg"))
+    got = np.asarray(jax.jit(LPIPS(net="vgg").apply)(
+        params, _nhwc(x), _nhwc(y)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
