@@ -55,6 +55,23 @@ class FolderDataset:
             return np.asarray(im, np.uint8)
 
 
+def _open_lmdb(path: str):
+    """LMDB access: the native C++ mmap reader when the runtime is built
+    (ideas_tpu/native/core.cpp — no Python bytecode on per-item fetches),
+    else the pure-Python reader. Identical read semantics (pinned by
+    tests/test_native.py)."""
+    from ideas_tpu import native
+
+    if native.available():
+        try:
+            return native.NativeLMDBReader(path)
+        except Exception:
+            pass  # fall through to the pure reader (clearer errors)
+    from ideas_tpu.data.lmdb_reader import LMDBReader
+
+    return LMDBReader(path)
+
+
 class LMDBImageDataset:
     """LSUN-style LMDB of encoded images (`dataset.py:12-48`).
 
@@ -63,10 +80,8 @@ class LMDBImageDataset:
     """
 
     def __init__(self, path: str, resolution: int, max_num: int = LMDB_MAX_NUM):
-        from ideas_tpu.data.lmdb_reader import LMDBReader
-
         self.resolution = resolution
-        self.db = LMDBReader(path)
+        self.db = _open_lmdb(path)
         self.keys: List[bytes] = []
         for k in self.db.keys():  # keys-only scan: no value copies
             self.keys.append(k)
@@ -94,10 +109,8 @@ class MultiResolutionLMDBDataset:
     keys `f'{resolution}-{idx:05d}'`, length under key b'length'."""
 
     def __init__(self, path: str, resolution: int):
-        from ideas_tpu.data.lmdb_reader import LMDBReader
-
         self.resolution = resolution
-        self.db = LMDBReader(path)
+        self.db = _open_lmdb(path)
         length = self.db.get(b"length")
         if length is None:
             raise ValueError(f"{path} has no 'length' key (not an SG2 lmdb)")

@@ -45,7 +45,10 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH) and not _build():
+        src = os.path.join(_HERE, "core.cpp")
+        stale = (not os.path.exists(_LIB_PATH)
+                 or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src))
+        if stale and not _build():
             return None
         lib = ctypes.CDLL(_LIB_PATH)
         i64, u64, f64 = ctypes.c_int64, ctypes.c_uint64, ctypes.c_double
@@ -54,8 +57,18 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ideas_preprocess_batch.argtypes = [u8p, f32p, i64, i64, i64, i64, u8p]
         lib.ideas_message_to_tensor.argtypes = [f32p, f32p, i64, i64, i64, f64, u64]
         lib.ideas_tensor_to_message.argtypes = [f32p, f32p, i64, i64, i64]
+        vp = ctypes.c_void_p
+        lib.ideas_lmdb_open.argtypes = [ctypes.c_char_p]
+        lib.ideas_lmdb_open.restype = vp
+        lib.ideas_lmdb_close.argtypes = [vp]
+        lib.ideas_lmdb_entries.argtypes = [vp]
+        lib.ideas_lmdb_entries.restype = i64
+        lib.ideas_lmdb_get.argtypes = [vp, vp, i64, vp, i64]
+        lib.ideas_lmdb_get.restype = i64
+        lib.ideas_lmdb_dump_keys.argtypes = [vp, vp, i64, vp, i64]
+        lib.ideas_lmdb_dump_keys.restype = i64
         lib.ideas_native_abi_version.restype = ctypes.c_int
-        assert lib.ideas_native_abi_version() == 1
+        assert lib.ideas_native_abi_version() >= 2
         _lib = lib
         return _lib
 
@@ -93,3 +106,60 @@ def tensor_to_message(tensor: np.ndarray, sigma: int) -> np.ndarray:
     out = np.empty((b, groups * sigma), np.float32)
     lib.ideas_tensor_to_message(tensor, out, b, groups, sigma)
     return out
+
+
+class NativeLMDBReader:
+    """Read-only LMDB access backed by the native runtime (the fast path
+    for `ideas_tpu.data.lmdb_reader.LMDBReader` — same semantics, C++
+    mmap + B+tree walk)."""
+
+    def __init__(self, path: str):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self._lib = lib
+        self._h = lib.ideas_lmdb_open(os.fsencode(path))
+        if not self._h:
+            raise ValueError(f"not an LMDB environment: {path}")
+        self.entries = int(lib.ideas_lmdb_entries(self._h))
+
+    def close(self):
+        if self._h:
+            self._lib.ideas_lmdb_close(self._h)
+            self._h = None
+
+    def __del__(self):  # best-effort
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def get(self, key: bytes) -> Optional[bytes]:
+        kbuf = ctypes.create_string_buffer(key, len(key))
+        size = self._lib.ideas_lmdb_get(
+            self._h, ctypes.cast(kbuf, ctypes.c_void_p), len(key), None, 0)
+        if size < 0:
+            return None
+        out = ctypes.create_string_buffer(size)
+        got = self._lib.ideas_lmdb_get(
+            self._h, ctypes.cast(kbuf, ctypes.c_void_p), len(key),
+            ctypes.cast(out, ctypes.c_void_p), size)
+        assert got == size
+        return out.raw
+
+    def keys(self):
+        """All keys, in B+tree (sorted) order."""
+        n = self.entries
+        lens = np.zeros(max(n, 1), np.int32)
+        total = self._lib.ideas_lmdb_dump_keys(
+            self._h, None, 0, lens.ctypes.data_as(ctypes.c_void_p), n)
+        buf = ctypes.create_string_buffer(int(total))
+        self._lib.ideas_lmdb_dump_keys(
+            self._h, ctypes.cast(buf, ctypes.c_void_p), total,
+            None, 0)
+        out, pos = [], 0
+        raw = buf.raw
+        for i in range(n):
+            out.append(raw[pos:pos + int(lens[i])])
+            pos += int(lens[i])
+        return out

@@ -15,8 +15,14 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <string>
 #include <thread>
 #include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 
 namespace {
 
@@ -154,7 +160,216 @@ void ideas_tensor_to_message(const float* tensor, float* out, int64_t b,
   });
 }
 
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Read-only LMDB environment reader (the native counterpart of
+// ideas_tpu/data/lmdb_reader.py; format per http://www.lmdb.tech/doc/,
+// 64-bit little-endian layout). Role: the reference reads LSUN stores
+// through the lmdb C library's Python binding (/root/reference/dataset.py);
+// here the mmap + B+tree walk lives in this runtime so per-item fetches
+// cost no Python bytecode on the data path.
+
+namespace {
+
+constexpr uint32_t kMdbMagic = 0xBEEFC0DE;
+constexpr uint16_t kPBranch = 0x01;
+constexpr uint16_t kPLeaf = 0x02;
+constexpr uint16_t kFBigdata = 0x01;
+constexpr uint64_t kPInvalid = ~0ULL;
+
+template <typename T>
+T rd(const uint8_t* p) {
+  T v;
+  std::memcpy(&v, p, sizeof(T));
+  return v;
+}
+
+struct LmdbEnv {
+  const uint8_t* map = nullptr;
+  size_t size = 0;
+  uint32_t psize = 0;
+  uint64_t root = kPInvalid;
+  uint64_t entries = 0;
+
+  // Parse one meta page; returns txnid or 0 on bad magic.
+  uint64_t parse_meta(size_t off0, uint32_t* ps, uint64_t* rt, uint64_t* en) const {
+    const uint8_t* base = map + off0 + 16;
+    if (rd<uint32_t>(base) != kMdbMagic) return 0;
+    *ps = rd<uint32_t>(base + 24);
+    const uint8_t* main_db = base + 24 + 48;
+    *en = rd<uint64_t>(main_db + 32);
+    *rt = rd<uint64_t>(main_db + 40);
+    return rd<uint64_t>(base + 24 + 96 + 8) + 1;  // +1 so txnid 0 is valid
+  }
+
+  bool open(const char* path) {
+    std::string p(path);
+    struct stat st;
+    if (stat(p.c_str(), &st) == 0 && S_ISDIR(st.st_mode)) p += "/data.mdb";
+    int fd = ::open(p.c_str(), O_RDONLY);
+    if (fd < 0) return false;
+    if (fstat(fd, &st) != 0) { ::close(fd); return false; }
+    size = static_cast<size_t>(st.st_size);
+    void* m = mmap(nullptr, size, PROT_READ, MAP_SHARED, fd, 0);
+    ::close(fd);  // mapping persists
+    if (m == MAP_FAILED) return false;
+    map = static_cast<const uint8_t*>(m);
+    uint32_t ps0, ps1;
+    uint64_t rt0, rt1, en0, en1;
+    uint64_t t0 = parse_meta(0, &ps0, &rt0, &en0);
+    if (!t0) { munmap(m, size); map = nullptr; return false; }
+    uint64_t t1 = (ps0 < size) ? parse_meta(ps0, &ps1, &rt1, &en1) : 0;
+    if (t1 > t0) { psize = ps1; root = rt1; entries = en1; }
+    else { psize = ps0; root = rt0; entries = en0; }
+    return true;
+  }
+
+  void close() {
+    if (map) munmap(const_cast<uint8_t*>(map), size);
+    map = nullptr;
+  }
+
+  const uint8_t* page(uint64_t pgno) const { return map + pgno * psize; }
+
+  // node i of a page; returns node offset pointer
+  const uint8_t* node(const uint8_t* pg, int i) const {
+    uint16_t ptr = rd<uint16_t>(pg + 16 + 2 * i);
+    return pg + ptr;
+  }
+
+  static int num_keys(const uint8_t* pg) {
+    return (rd<uint16_t>(pg + 12) - 16) / 2;
+  }
+  static uint16_t flags_of(const uint8_t* pg) { return rd<uint16_t>(pg + 10); }
+
+  static uint64_t child_pgno(const uint8_t* n) {
+    // branch nodes overlap lo/hi/flags with a 48-bit page number
+    return static_cast<uint64_t>(rd<uint16_t>(n)) |
+           (static_cast<uint64_t>(rd<uint16_t>(n + 2)) << 16) |
+           (static_cast<uint64_t>(rd<uint16_t>(n + 4)) << 32);
+  }
+
+  // leaf node accessors
+  static uint32_t datasize_of(const uint8_t* n) {
+    return static_cast<uint32_t>(rd<uint16_t>(n)) |
+           (static_cast<uint32_t>(rd<uint16_t>(n + 2)) << 16);
+  }
+  static uint16_t nflags_of(const uint8_t* n) { return rd<uint16_t>(n + 4); }
+  static uint16_t ksize_of(const uint8_t* n) { return rd<uint16_t>(n + 6); }
+  static const uint8_t* key_of(const uint8_t* n) { return n + 8; }
+
+  const uint8_t* leaf_value(const uint8_t* n, uint32_t* dsize) const {
+    *dsize = datasize_of(n);
+    if (nflags_of(n) & kFBigdata) {
+      uint64_t ovpg = rd<uint64_t>(n + 8 + ksize_of(n));
+      return page(ovpg) + 16;
+    }
+    return n + 8 + ksize_of(n);
+  }
+
+  // in-order key walk; fn(key_ptr, ksize)
+  template <typename F>
+  void walk_keys(uint64_t pgno, F&& fn) const {
+    const uint8_t* pg = page(pgno);
+    int n = num_keys(pg);
+    uint16_t fl = flags_of(pg);
+    if (fl & kPLeaf) {
+      for (int i = 0; i < n; ++i) {
+        const uint8_t* nd = node(pg, i);
+        fn(key_of(nd), ksize_of(nd));
+      }
+    } else if (fl & kPBranch) {
+      for (int i = 0; i < n; ++i) walk_keys(child_pgno(node(pg, i)), fn);
+    }
+  }
+};
+
+int key_cmp(const uint8_t* a, int alen, const uint8_t* b, int blen) {
+  int r = std::memcmp(a, b, std::min(alen, blen));
+  return r ? r : (alen - blen);
+}
+
+}  // namespace
+
+extern "C" {
+
+void* ideas_lmdb_open(const char* path) {
+  auto* env = new LmdbEnv();
+  if (!env->open(path)) { delete env; return nullptr; }
+  return env;
+}
+
+void ideas_lmdb_close(void* h) {
+  auto* env = static_cast<LmdbEnv*>(h);
+  env->close();
+  delete env;
+}
+
+int64_t ideas_lmdb_entries(void* h) {
+  return static_cast<int64_t>(static_cast<LmdbEnv*>(h)->entries);
+}
+
+// Point lookup. Returns the value size, or -1 if the key is absent.
+// Copies min(size, bufcap) bytes into buf when buf != nullptr.
+int64_t ideas_lmdb_get(void* h, const uint8_t* key, int64_t klen,
+                       uint8_t* buf, int64_t bufcap) {
+  const auto* env = static_cast<LmdbEnv*>(h);
+  if (env->root == kPInvalid) return -1;
+  uint64_t pgno = env->root;
+  for (;;) {
+    const uint8_t* pg = env->page(pgno);
+    int n = LmdbEnv::num_keys(pg);
+    uint16_t fl = LmdbEnv::flags_of(pg);
+    if (fl & kPLeaf) {
+      int lo = 0, hi = n - 1;
+      while (lo <= hi) {
+        int mid = (lo + hi) / 2;
+        const uint8_t* nd = env->node(pg, mid);
+        int c = key_cmp(LmdbEnv::key_of(nd), LmdbEnv::ksize_of(nd),
+                        key, static_cast<int>(klen));
+        if (c == 0) {
+          uint32_t dsize;
+          const uint8_t* v = env->leaf_value(nd, &dsize);
+          if (buf) std::memcpy(buf, v, std::min<int64_t>(dsize, bufcap));
+          return dsize;
+        }
+        if (c < 0) lo = mid + 1; else hi = mid - 1;
+      }
+      return -1;
+    }
+    if (!(fl & kPBranch)) return -1;
+    int chosen = 0, lo = 1, hi = n - 1;  // node 0 has the empty key
+    while (lo <= hi) {
+      int mid = (lo + hi) / 2;
+      const uint8_t* nd = env->node(pg, mid);
+      int c = key_cmp(LmdbEnv::key_of(nd), LmdbEnv::ksize_of(nd),
+                      key, static_cast<int>(klen));
+      if (c <= 0) { chosen = mid; lo = mid + 1; } else { hi = mid - 1; }
+    }
+    pgno = LmdbEnv::child_pgno(env->node(pg, chosen));
+  }
+}
+
+// In-order key dump. Fills lens[i] (when lens != nullptr, up to lens_cap)
+// and concatenated key bytes into buf (when buf != nullptr, up to bufcap).
+// Returns the TOTAL key bytes — call once with null buf to size, again to
+// fill.
+int64_t ideas_lmdb_dump_keys(void* h, uint8_t* buf, int64_t bufcap,
+                             int32_t* lens, int64_t lens_cap) {
+  const auto* env = static_cast<LmdbEnv*>(h);
+  if (env->root == kPInvalid) return 0;
+  int64_t total = 0, i = 0;
+  env->walk_keys(env->root, [&](const uint8_t* k, uint16_t ks) {
+    if (lens && i < lens_cap) lens[i] = ks;
+    if (buf && total + ks <= bufcap) std::memcpy(buf + total, k, ks);
+    total += ks;
+    ++i;
+  });
+  return total;
+}
+
 // Simple self-test hook.
-int ideas_native_abi_version() { return 1; }
+int ideas_native_abi_version() { return 2; }
 
 }  // extern "C"

@@ -36,3 +36,32 @@ def test_native_codec_roundtrip_and_parity(sigma):
     z0 = native.message_to_tensor(bits, sigma, delta=0.0)
     zj = np.asarray(jmt(jnp.asarray(bits), sigma=sigma, delta=0.0))
     np.testing.assert_allclose(z0, zj, atol=1e-6)
+
+
+def test_native_lmdb_reader_matches_python():
+    """C++ LMDB reader == pure-Python reader on the overflow-page fixture
+    (keys order, point lookups, entry count, absent-key miss)."""
+    import tempfile
+
+    from ideas_tpu import native
+    from ideas_tpu.data.lmdb_reader import LMDBReader
+    from tests.lmdb_fixture import write_lmdb
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    d = tempfile.mkdtemp()
+    items = [(f"k{i:04d}".encode(), bytes([i % 251]) * (5000 + 13 * i))
+             for i in range(20)]
+    write_lmdb(d, items)
+
+    py = LMDBReader(d)
+    nat = native.NativeLMDBReader(d)
+    assert nat.entries == py.entries == len(items)
+    assert nat.keys() == list(py.keys()) == [k for k, _ in items]
+    for k, v in items:
+        assert nat.get(k) == py.get(k) == v
+    assert nat.get(b"missing") is None
+    nat.close()
+    py.close()
