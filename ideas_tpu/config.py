@@ -49,6 +49,12 @@ class TrainConfig:
     num_data_devices: int = 0  # 0 = use all visible devices (data parallel)
     num_spatial_devices: int = 1  # >1: shard image height over a 2nd mesh axis
     synthetic_family: str = "default"  # 'default' | 'rich' (device_synthetic)
+    # Optional decision-margin hinge on the extracted tensor (0 = off,
+    # reference-faithful). With sigma=1 serving, a bit flips iff
+    # sign(z_hat) != sign(z); L1 alone spends capacity on magnitude
+    # everywhere, while relu(margin - z_hat*sign(z)) pushes mass away
+    # from the decision boundary — the delta=50% ACC lever (PERF.md).
+    ex_margin: float = 0.0
     experiments_dir: str = "experiments"
     ema_halflife_kimg: float = 10.0  # accum = 0.5 ** (32/(10*1000)), train.py:30
 

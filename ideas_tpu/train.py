@@ -253,6 +253,15 @@ class Trainer:
 
             z_hat = models["Ex"].apply(ge_params["Ex"], s2_hat)
             ex_loss = l1_loss(z_hat, fwd["z"])
+            if cfg.ex_margin > 0:
+                # Decision-margin hinge (framework extension, off by
+                # default): with sigma=1 the decoded bit is sign(z_hat),
+                # so penalize extractions inside the margin band around
+                # the bin boundary instead of only absolute error.
+                sgn = jnp.sign(fwd["z"])
+                ex_loss = ex_loss + jnp.mean(
+                    jax.nn.relu(cfg.ex_margin - z_hat * sgn)
+                )
 
             loss_g = g_rec + g_texture + 2.0 * g_real
             loss_e = e_dist + e_stru

@@ -45,7 +45,8 @@ def parse_args(argv=None) -> TrainConfig:
                  "structure_channel", "texture_channel", "log_every",
                  "show_every", "save_every", "seed", "num_spatial_devices"):
         p.add_argument(f"--{name}", type=int, default=getattr(defaults, name))
-    for name in ("lambda_Ex", "lr", "real_r1", "texture_r1", "dist_r1"):
+    for name in ("lambda_Ex", "lr", "real_r1", "texture_r1", "dist_r1",
+                 "ex_margin"):
         p.add_argument(f"--{name}", type=float, default=getattr(defaults, name))
     p.add_argument("--synthetic_family", choices=["default", "rich"],
                    default=defaults.synthetic_family,

@@ -142,3 +142,15 @@ def test_train_step_data_parallel_8dev():
     # params stay replicated (same value on every device)
     leaf = jax.tree.leaves(state1.params["G"])[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_train_step_ex_margin():
+    """Optional decision-margin hinge: step runs, loss finite, and the
+    Ex_loss exceeds the plain-L1 value (the hinge adds mass at init)."""
+    cfg = tiny_config(ex_margin=0.2)
+    tr = Trainer(cfg)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    step = tr.train_step_fn(do_r1=False)
+    state1, metrics = step(state, _batch(cfg), jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["Loss_total"]))
+    assert float(metrics["Ex_loss"]) > 0
