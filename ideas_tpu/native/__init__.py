@@ -50,27 +50,45 @@ def _load() -> Optional[ctypes.CDLL]:
                  or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src))
         if stale and not _build():
             return None
-        lib = ctypes.CDLL(_LIB_PATH)
-        i64, u64, f64 = ctypes.c_int64, ctypes.c_uint64, ctypes.c_double
-        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
-        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
-        lib.ideas_preprocess_batch.argtypes = [u8p, f32p, i64, i64, i64, i64, u8p]
-        lib.ideas_message_to_tensor.argtypes = [f32p, f32p, i64, i64, i64, f64, u64]
-        lib.ideas_tensor_to_message.argtypes = [f32p, f32p, i64, i64, i64]
-        vp = ctypes.c_void_p
-        lib.ideas_lmdb_open.argtypes = [ctypes.c_char_p]
-        lib.ideas_lmdb_open.restype = vp
-        lib.ideas_lmdb_close.argtypes = [vp]
-        lib.ideas_lmdb_entries.argtypes = [vp]
-        lib.ideas_lmdb_entries.restype = i64
-        lib.ideas_lmdb_get.argtypes = [vp, vp, i64, vp, i64]
-        lib.ideas_lmdb_get.restype = i64
-        lib.ideas_lmdb_dump_keys.argtypes = [vp, vp, i64, vp, i64]
-        lib.ideas_lmdb_dump_keys.restype = i64
-        lib.ideas_native_abi_version.restype = ctypes.c_int
-        assert lib.ideas_native_abi_version() >= 2
-        _lib = lib
-        return _lib
+        try:
+            return _bind(ctypes.CDLL(_LIB_PATH))
+        except Exception:
+            # Stale-but-newer-mtime .so (copied tree, clock skew) or a
+            # concurrent relink: rebuild once, then give up gracefully —
+            # available() must return False, never raise.
+            if not _build():
+                return None
+            try:
+                return _bind(ctypes.CDLL(_LIB_PATH))
+            except Exception:
+                return None
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    """Declare signatures + ABI check; raises if the .so is old/broken
+    (callers catch and rebuild/fall back)."""
+    global _lib
+    i64, u64, f64 = ctypes.c_int64, ctypes.c_uint64, ctypes.c_double
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.ideas_preprocess_batch.argtypes = [u8p, f32p, i64, i64, i64, i64, u8p]
+    lib.ideas_message_to_tensor.argtypes = [f32p, f32p, i64, i64, i64, f64, u64]
+    lib.ideas_tensor_to_message.argtypes = [f32p, f32p, i64, i64, i64]
+    vp = ctypes.c_void_p
+    lib.ideas_lmdb_open.argtypes = [ctypes.c_char_p]
+    lib.ideas_lmdb_open.restype = vp
+    lib.ideas_lmdb_close.argtypes = [vp]
+    lib.ideas_lmdb_entries.argtypes = [vp]
+    lib.ideas_lmdb_entries.restype = i64
+    lib.ideas_lmdb_get.argtypes = [vp, vp, i64, vp, i64]
+    lib.ideas_lmdb_get.restype = i64
+    lib.ideas_lmdb_dump_keys.argtypes = [vp, vp, i64, vp, i64]
+    lib.ideas_lmdb_dump_keys.restype = i64
+    lib.ideas_native_abi_version.restype = ctypes.c_int
+    if lib.ideas_native_abi_version() < 2:
+        raise RuntimeError("stale libideas_native.so (ABI < 2)")
+    _lib = lib
+    return _lib
 
 
 def available() -> bool:

@@ -170,9 +170,11 @@ def maybe_initialize_distributed() -> bool:
     not limp on as 1-host)."""
     import os
 
+    # Only JAX-recognized coordinator variables: the generic
+    # COORDINATOR_ADDRESS is used by unrelated orchestrators and would
+    # trigger a doomed initialize() on plain single-host boxes.
     coordinator_vars = (
         "JAX_COORDINATOR_ADDRESS",
-        "COORDINATOR_ADDRESS",
         "MEGASCALE_COORDINATOR_ADDRESS",
     )
     if not any(v in os.environ for v in coordinator_vars):

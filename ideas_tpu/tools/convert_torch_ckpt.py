@@ -284,8 +284,11 @@ def check_against_models(converted: Dict[str, dict], image_size: int,
         "Ddist": (jnp.zeros((1, cfg.texture_channel)),),
         "Dreal": (jnp.zeros((1, image_size, image_size, 3)),),
         "Dco": (jnp.zeros((1, patch, patch, 3)),
-                jnp.zeros((2, patch, patch, 3)), 2),
+                jnp.zeros((2, patch, patch, 3))),
     }
+    # Static (non-array) init kwargs: must NOT pass through eval_shape's
+    # abstraction (ref_batch feeds a reshape and has to stay concrete).
+    static_kwargs = {"Dco": {"ref_batch": 2}}
     names = {"E": "DisentanglementEncoder", "G": "Generator",
              "Gstru": "StructureGenerator", "Ex": "TensorExtractor",
              "Ddist": "DistributionDiscriminator",
@@ -295,8 +298,10 @@ def check_against_models(converted: Dict[str, dict], image_size: int,
         if slot not in converted:
             continue
         model = init_model(model_name, cfg)
+        kw = static_kwargs.get(slot, {})
         want = jax.eval_shape(
-            lambda *a: model.init(jax.random.PRNGKey(0), *a), *inputs[slot]
+            lambda *a: model.init(jax.random.PRNGKey(0), *a, **kw),
+            *inputs[slot]
         )["params"]
         got = converted[slot]["params"]
         flat_w = jax.tree_util.tree_flatten_with_path(want)[0]

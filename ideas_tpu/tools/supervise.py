@@ -92,11 +92,13 @@ def main(argv=None):
         child = subprocess.Popen(cmd, start_new_session=True)
         launch_t = time.time()
         progressed = False
-        # Progress = the watched logs GROW past their post-launch header.
-        # (Content-based, not wall-clock: a slow header under host-CPU
-        # contention must not count as progress, and a fast first
-        # iteration must. The logs are append-only by design.)
-        header_size = None
+        # Progress = the watched logs GROW after stall detection arms
+        # (end of the startup grace). Headers — config dump, device
+        # line, the post-compile "resumed from checkpoint" — all land
+        # during the grace window, so they can never reset the restart
+        # counter; training lines recur every log_every iters, so real
+        # progress keeps growing the file after arming.
+        armed_size = None
         while True:
             try:
                 rc = child.wait(timeout=a.poll_seconds)
@@ -109,15 +111,16 @@ def main(argv=None):
                 pass
             last = newest_mtime(watch)
             size = total_size(watch)
-            if header_size is None:
-                if last > launch_t and size > 0:
-                    header_size = size  # first post-launch write = header
-            elif size > header_size:
-                progressed = True
+            in_grace = time.time() - launch_t < a.startup_minutes * 60.0
+            if not in_grace:
+                if armed_size is None:
+                    armed_size = size  # snapshot once, at arming
+                elif size > armed_size:
+                    progressed = True
             # Startup grace: the config/log header is written immediately
             # at launch, then the log goes quiet through the first jit
             # compiles — don't count that as a stall.
-            if time.time() - launch_t < a.startup_minutes * 60.0:
+            if in_grace:
                 continue
             # Stall = no watched-file update for `stall` seconds (measured
             # from launch if nothing was ever written).

@@ -60,6 +60,11 @@ def parse_args(argv=None) -> TrainConfig:
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of iters 10-15 here")
     a = p.parse_args(argv)
+    if a.synthetic_family != "default" and a.dataset_type != "synthetic_device":
+        p.error("--synthetic_family is only consulted by "
+                "--dataset_type synthetic_device (the host 'synthetic' "
+                "dataset has no family parameter); refusing to record a "
+                "family the run would not actually use")
     if a.platform:
         import jax
 
@@ -98,10 +103,15 @@ def main(cfg: TrainConfig) -> None:
             fp.write(msg + "\n")
 
     def log_metrics(event: str, iter_idx: int, values: dict):
+        import math
+
         rec = {"event": event, "iter": iter_idx, "time": time.time()}
-        rec.update({k: float(v) for k, v in values.items()})
+        # NaN/Inf are not valid JSON (a diverged GAN loss would corrupt
+        # the whole file for strict parsers) — encode them as null.
+        rec.update({k: (float(v) if math.isfinite(float(v)) else None)
+                    for k, v in values.items()})
         with open(metrics_path, "a") as fp:
-            fp.write(json.dumps(rec) + "\n")
+            fp.write(json.dumps(rec, allow_nan=False) + "\n")
 
     mesh = parallel.make_mesh(cfg.num_data_devices,
                               spatial_devices=cfg.num_spatial_devices)

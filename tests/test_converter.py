@@ -140,3 +140,21 @@ def test_generator_roundtrip():
             bad, CFG.image_size, CFG.channel, CFG.N,
             texture_channel=CFG.texture_channel,
         )
+
+
+def test_check_against_models_dco_slot():
+    """--check must handle the Dco slot: ref_batch is a STATIC init arg
+    (an eval_shape-abstracted ref_batch feeds a reshape and crashes —
+    round-2 review regression)."""
+    import jax.numpy as jnp
+
+    m = init_model("CooccurenceDiscriminator", CFG)
+    patch = CFG.image_size // 4
+    p = jax.jit(m.init, static_argnums=3)(
+        jax.random.PRNGKey(0), jnp.zeros((1, patch, patch, 3)),
+        jnp.zeros((2, patch, patch, 3)), 2,
+    )["params"]
+    cc.check_against_models(
+        {"Dco": {"params": p}}, CFG.image_size, CFG.channel, CFG.N,
+        texture_channel=CFG.texture_channel,
+    )

@@ -162,8 +162,12 @@ def _full_model_case(name):
 
 @pytest.mark.parametrize("name", ["E", "G", "Gstru", "Ex", "Dreal", "Ddist"])
 def test_full_model_parity(name):
+    import zlib
+
     tm, convert, flax_name, args = _full_model_case(name)
-    _randomize(tm, seed=hash(name) % 2 ** 31)
+    # crc32, not hash(): PYTHONHASHSEED varies per process and would make
+    # the randomized weights — and any failure — unreproducible.
+    _randomize(tm, seed=zlib.crc32(name.encode()))
     with torch.no_grad():
         want = tm(*args)
     params = convert(_sd(tm))

@@ -43,7 +43,6 @@ def main():
     state_shape = jax.eval_shape(trainer.init_state, jax.random.PRNGKey(0))
     x = jax.ShapeDtypeStruct(
         (cfg.batch_size, cfg.image_size, cfg.image_size, 3), jnp.float32)
-    key = jax.ShapeDtypeStruct((2,), jnp.uint32)
 
     flops = {}
     for name, do_r1 in (("plain", False), ("r1", True)):
