@@ -91,3 +91,28 @@ def test_ada_augment_runs_and_p_gates():
     out1 = augment(jax.random.PRNGKey(9), img, p=1.0)
     assert np.isfinite(np.asarray(out1)).all()
     assert not np.allclose(np.asarray(out1), np.asarray(img), atol=0.1)
+
+
+def test_sg2_train_step_data_parallel_8dev():
+    """SG2 trainer over the 8-device mesh: batch sharded, params
+    replicated, full step (R1 + path reg) compiles and executes —
+    the side tree's DDP-parity datapoint (stylegan2/train.py:425-438)."""
+    from ideas_tpu import parallel
+
+    assert jax.device_count() >= 8
+    cfg = SG2Config(size=SIZE, style_dim=32, n_mlp=2, channel_multiplier=1,
+                    batch_size=8)
+    mesh = parallel.make_mesh()
+    tr = SG2Trainer(cfg, mesh=mesh)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    x = parallel.shard_batch(
+        mesh,
+        np.random.default_rng(0)
+        .uniform(-1, 1, (8, SIZE, SIZE, 3)).astype(np.float32),
+    )
+    step = tr.step_fn(do_r1=True, do_path=True)
+    state1, metrics = step(state, x, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["d"]))
+    assert np.isfinite(float(metrics["g"]))
+    leaf = jax.tree.leaves(state1.g_params)[0]
+    assert leaf.sharding.is_fully_replicated
