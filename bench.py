@@ -12,6 +12,12 @@ north-star target is 3x an RTX 2080Ti running the reference trainer.
 REF_2080TI_IMGS_PER_SEC below is our documented estimate for the
 reference's `train.py` (batch 1..8, six generator forwards + three
 discriminators per iteration on an 11 GB 2080Ti).
+
+The step runs with `share_phase_noise` (BENCH_SHARE=0 reverts): one
+noise draw serves both GAN phases so XLA CSE merges the duplicated
+generator forward — +9.6% step throughput with training quality
+verified unchanged by a 128^2/6k A/B (PERF.md candidate ledger 4 and
+the datapoints table).
 """
 
 import json
@@ -40,6 +46,7 @@ def main():
         channel=32,
         batch_size=batch,
         compute_dtype=jnp.bfloat16 if dtype == "bf16" else jnp.float32,
+        share_phase_noise=os.environ.get("BENCH_SHARE", "1") == "1",
     )
     trainer = Trainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))

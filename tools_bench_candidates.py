@@ -126,11 +126,50 @@ def bench_r1_overlap_bound():
           "the ceiling for any async-R1 scheduling win", flush=True)
 
 
+def bench_share_noise():
+    """Candidate 4: share one noise draw between the D and G phases so
+    XLA CSE merges the duplicated generator forward (default-off
+    `share_phase_noise` flag; the reference re-samples per phase)."""
+    from ideas_tpu.config import TrainConfig
+    from ideas_tpu.train import Trainer
+
+    print("== candidate 4: share_phase_noise (CSE the dup G forward)",
+          flush=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (8, 256, 256, 3)).astype(np.float32))
+    for share in (False, True):
+        cfg = TrainConfig(image_size=256, channel=32, batch_size=8,
+                          compute_dtype=jnp.bfloat16,
+                          share_phase_noise=share)
+        tr = Trainer(cfg)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        step = tr.train_step_fn(do_r1=False)
+
+        def run(state, x):
+            s2, m = step(state, x, jax.random.PRNGKey(1))
+            return m["Loss_total"]
+
+        dt = timeit(f"step share_phase_noise={int(share)}", run, state, x,
+                    iters=10)
+        print(f"  -> {8 / dt:.1f} imgs/s", flush=True)
+        del tr, state, step
+
+
 def main():
+    import sys
+
+    cands = {"epilogue": bench_epilogue, "batch": bench_batch_remat,
+             "r1": bench_r1_overlap_bound, "share": bench_share_noise}
+    # Run one candidate per process when named (HBM from a failed larger
+    # config otherwise poisons the next candidate); default = all.
+    picked = [cands[a] for a in sys.argv[1:]] or list(cands.values())
     print(f"backend: {jax.devices()}", flush=True)
-    bench_epilogue()
-    bench_batch_remat()
-    bench_r1_overlap_bound()
+    for cand in picked:
+        try:
+            cand()
+        except Exception as e:  # record the failure, keep measuring
+            print(f"{cand.__name__} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
     print("BENCH_CANDIDATES_OK", flush=True)
 
 
