@@ -5,7 +5,7 @@ three optimizers, EMA, amortized R1 every d_reg_every=16 — at the paper
 config (256^2, channel=32, N=1), and prints ONE JSON line:
 
     {"metric": "...", "value": imgs_per_sec, "unit": "imgs/sec/chip",
-     "vs_baseline": value / (3 * REF_2080TI_IMGS_PER_SEC)}
+     "vs_baseline": value / (3 * REF_2080TI_IMGS_PER_SEC), ...}
 
 Baseline: the reference publishes no throughput (BASELINE.md); the
 north-star target is 3x an RTX 2080Ti running the reference trainer.
@@ -13,11 +13,16 @@ REF_2080TI_IMGS_PER_SEC below is our documented estimate for the
 reference's `train.py` (batch 1..8, six generator forwards + three
 discriminators per iteration on an 11 GB 2080Ti).
 
-The step runs with `share_phase_noise` (BENCH_SHARE=0 reverts): one
-noise draw serves both GAN phases so XLA CSE merges the duplicated
-generator forward — +9.6% step throughput with training quality
-verified unchanged by a 128^2/6k A/B (PERF.md candidate ledger 4 and
-the datapoints table).
+Two variants are measured in one process (BENCH_BOTH=0 skips the
+second):
+
+* `value` (headline): `share_phase_noise` on — one noise draw serves
+  both GAN phases so XLA CSE merges the duplicated generator forward.
+  Quality A/B-verified at the paper 256^2/80k budget (PERF.md round-3
+  run) and at 128^2/6k.
+* `value_reference_semantics`: share off — noise re-sampled per phase
+  exactly like the reference (`train.py:60-64,148-152`), for an
+  apples-to-apples algorithmic comparison.
 """
 
 import json
@@ -29,24 +34,19 @@ REF_2080TI_IMGS_PER_SEC = 10.0  # documented estimate (see module docstring)
 TARGET = 3.0 * REF_2080TI_IMGS_PER_SEC
 
 
-def main():
+def measure(share: bool, batch: int, iters: int, dtype):
     import jax
     import numpy as np
 
     from ideas_tpu.config import TrainConfig
     from ideas_tpu.train import Trainer
 
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
-    iters = int(os.environ.get("BENCH_ITERS", "32"))
-    dtype = os.environ.get("BENCH_DTYPE", "bf16")
-    import jax.numpy as jnp
-
     cfg = TrainConfig(
         image_size=256,
         channel=32,
         batch_size=batch,
-        compute_dtype=jnp.bfloat16 if dtype == "bf16" else jnp.float32,
-        share_phase_noise=os.environ.get("BENCH_SHARE", "1") == "1",
+        compute_dtype=dtype,
+        share_phase_noise=share,
     )
     trainer = Trainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
@@ -81,18 +81,31 @@ def main():
         n += batch
     sync(m)
     dt = time.time() - t0
+    del state  # free HBM before the next variant initializes
+    return n / dt
 
-    imgs_per_sec = n / dt
-    print(
-        json.dumps(
-            {
-                "metric": "256^2 imgs/sec/chip (full G+D train step, amortized R1)",
-                "value": round(imgs_per_sec, 2),
-                "unit": "imgs/sec/chip",
-                "vs_baseline": round(imgs_per_sec / TARGET, 3),
-            }
-        )
-    )
+
+def main():
+    import jax.numpy as jnp
+
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "32"))
+    dtype = (jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
+             else jnp.float32)
+    both = os.environ.get("BENCH_BOTH", "1") == "1"
+
+    shared = measure(share=True, batch=batch, iters=iters, dtype=dtype)
+    out = {
+        "metric": "256^2 imgs/sec/chip (full G+D train step, amortized R1)",
+        "value": round(shared, 2),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(shared / TARGET, 3),
+    }
+    if both:
+        ref_sem = measure(share=False, batch=batch, iters=iters, dtype=dtype)
+        out["value_reference_semantics"] = round(ref_sem, 2)
+        out["vs_baseline_reference_semantics"] = round(ref_sem / TARGET, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -59,9 +59,12 @@ class TrainConfig:
     # phases of an iteration (0 = off, reference-faithful: the reference
     # re-samples in each phase, `train.py:60-64,148-152`). When on, the
     # two phases' generator forwards become identical HLO subgraphs that
-    # XLA CSE merges — fewer FLOPs per step with statistically
-    # equivalent training (both phases still see fresh noise each
-    # iteration). Measured win recorded in PERF.md.
+    # XLA CSE merges — fewer FLOPs per step. Note the semantic coupling:
+    # G then trains against a D freshly updated on exactly these fakes
+    # and patch crops (a standard same-batch GAN formulation, but not
+    # the reference's). Quality A/B-verified at 128^2/6k and at the
+    # paper 256^2/80k budget (PERF.md); both phases still see fresh
+    # noise each iteration. Measured throughput win in PERF.md.
     share_phase_noise: bool = False
     experiments_dir: str = "experiments"
     ema_halflife_kimg: float = 10.0  # accum = 0.5 ** (32/(10*1000)), train.py:30

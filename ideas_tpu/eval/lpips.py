@@ -75,9 +75,61 @@ class AlexNetFeatures(nn.Module):
         return feats
 
 
+class Fire(nn.Module):
+    """SqueezeNet Fire: 1x1 squeeze -> relu -> parallel 1x1/3x3 expands
+    -> relu -> channel concat."""
+
+    s1: int
+    e1: int
+    e3: int
+
+    @nn.compact
+    def __call__(self, x):
+        s = nn.relu(nn.Conv(self.s1, (1, 1), name="squeeze")(x))
+        a = nn.relu(nn.Conv(self.e1, (1, 1), name="expand1x1")(s))
+        b = nn.relu(nn.Conv(self.e3, (3, 3), padding=1, name="expand3x3")(s))
+        return jnp.concatenate([a, b], axis=-1)
+
+
+class SqueezeNetFeatures(nn.Module):
+    """SqueezeNet 1.1 feature stack; returns the 7 tap activations of
+    the reference's squeeze LPIPS variant
+    (`lpips/pretrained_networks.py:6-54`: taps after torchvision
+    `.features` indices 1, 4, 7, 9, 10, 11, 12). Pooling here is
+    floor-mode; torchvision uses MaxPool(3, 2, ceil_mode=True), which is
+    numerically identical for even input sizes (the stride-2 stem conv
+    then makes every pool input odd, where ceil == floor) — LPIPS inputs
+    in this stack are even-sized."""
+
+    @nn.compact
+    def __call__(self, x) -> List[jnp.ndarray]:
+        feats = []
+        x = nn.relu(nn.Conv(64, (3, 3), strides=2, padding=0, name="conv0")(x))
+        feats.append(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = Fire(16, 64, 64, name="fire3")(x)
+        x = Fire(16, 64, 64, name="fire4")(x)
+        feats.append(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = Fire(32, 128, 128, name="fire6")(x)
+        x = Fire(32, 128, 128, name="fire7")(x)
+        feats.append(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = Fire(48, 192, 192, name="fire9")(x)
+        feats.append(x)
+        x = Fire(48, 192, 192, name="fire10")(x)
+        feats.append(x)
+        x = Fire(64, 256, 256, name="fire11")(x)
+        feats.append(x)
+        x = Fire(64, 256, 256, name="fire12")(x)
+        feats.append(x)
+        return feats
+
+
 _CHANNELS = {
     "vgg": (64, 128, 256, 512, 512),
     "alex": (64, 192, 384, 256, 256),
+    "squeeze": (64, 128, 256, 384, 384, 512, 512),
 }
 
 
@@ -91,6 +143,8 @@ class LPIPS(nn.Module):
             self.backbone = VGG16Features(name="backbone")
         elif self.net == "alex":
             self.backbone = AlexNetFeatures(name="backbone")
+        elif self.net == "squeeze":
+            self.backbone = SqueezeNetFeatures(name="backbone")
         else:
             raise ValueError(self.net)
         self.lins = [
@@ -114,6 +168,43 @@ class LPIPS(nn.Module):
             d = self.lins[i](d)  # learned per-channel weights (>=0 in ckpt)
             total = total + jnp.mean(d, axis=(1, 2, 3))
         return total
+
+
+def l2_distance(x, y) -> jnp.ndarray:
+    """RGB L2 fallback metric (`lpips/networks_basic.py:150-157`):
+    per-sample mean squared difference. NHWC, any batch size (the
+    reference asserts batch 1; this is the vectorized equivalent)."""
+    return jnp.mean(jnp.square(x - y), axis=(1, 2, 3))
+
+
+def _uniform7(img):
+    s = jax.lax.reduce_window(
+        img, 0.0, jax.lax.add, (1, 7, 7, 1), (1, 1, 1, 1), "VALID"
+    )
+    return s / 49.0
+
+
+def dssim_distance(x, y) -> jnp.ndarray:
+    """DSSIM fallback metric (`lpips/networks_basic.py:167-180`, RGB
+    path): (1 - SSIM) / 2 with skimage `compare_ssim` defaults —
+    uniform 7x7 window, K1=0.01 / K2=0.03, unbiased covariance,
+    per-channel then averaged, edges cropped. Inputs NHWC in [-1, 1],
+    mapped to the reference's 0..255 image range."""
+    x = (x + 1.0) * 127.5
+    y = (y + 1.0) * 127.5
+    c1 = (0.01 * 255.0) ** 2
+    c2 = (0.03 * 255.0) ** 2
+    ux, uy = _uniform7(x), _uniform7(y)
+    uxx, uyy = _uniform7(x * x), _uniform7(y * y)
+    uxy = _uniform7(x * y)
+    cov_norm = 49.0 / 48.0  # unbiased (skimage: NP / (NP - 1))
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    ssim = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
+        (ux * ux + uy * uy + c1) * (vx + vy + c2)
+    )
+    return (1.0 - jnp.mean(ssim, axis=(1, 2, 3))) / 2.0
 
 
 def packaged_linear_path(net: str) -> str:
@@ -152,25 +243,38 @@ def load_weights_npz(net: str, backbone_path: str, linear_path: str):
     """Build LPIPS params from converted torch .npz files.
 
     backbone npz: 'features.<idx>.weight'/'.bias' (torchvision layout,
-    OIHW). linear npz: 'lin<i>.model.1.weight' (lpips net-lin layout).
+    OIHW; squeezenet1_1 additionally nests Fire submodule names, e.g.
+    'features.3.squeeze.weight'). linear npz: 'lin<i>.model.1.weight'
+    (lpips net-lin layout).
     """
+    def oihw_to_hwio(w, b):
+        return {"kernel": np.transpose(w, (2, 3, 1, 0)), "bias": b}
+
     params: Dict[str, Any] = {"backbone": {}, }
     raw = dict(np.load(backbone_path))
-    conv_idx = 0
-    # torchvision VGG16 conv layer indices in .features
-    order = sorted(
-        {int(k.split(".")[1]) for k in raw if k.endswith("weight")},
-    )
-    for li in order:
-        w = raw[f"features.{li}.weight"]
-        b = raw[f"features.{li}.bias"]
-        params["backbone"][f"conv{conv_idx}"] = {
-            "kernel": np.transpose(w, (2, 3, 1, 0)),
-            "bias": b,
-        }
-        conv_idx += 1
+    if net == "squeeze":
+        params["backbone"]["conv0"] = oihw_to_hwio(
+            raw["features.0.weight"], raw["features.0.bias"])
+        fire_ids = sorted({int(k.split(".")[1]) for k in raw
+                           if k.count(".") == 3})
+        for fi in fire_ids:
+            params["backbone"][f"fire{fi}"] = {
+                sub: oihw_to_hwio(raw[f"features.{fi}.{sub}.weight"],
+                                  raw[f"features.{fi}.{sub}.bias"])
+                for sub in ("squeeze", "expand1x1", "expand3x3")
+            }
+    else:
+        conv_idx = 0
+        # torchvision VGG16/AlexNet conv layer indices in .features
+        order = sorted(
+            {int(k.split(".")[1]) for k in raw if k.endswith("weight")},
+        )
+        for li in order:
+            params["backbone"][f"conv{conv_idx}"] = oihw_to_hwio(
+                raw[f"features.{li}.weight"], raw[f"features.{li}.bias"])
+            conv_idx += 1
     lraw = dict(np.load(linear_path))
-    for i in range(5):
+    for i in range(len(_CHANNELS[net])):
         w = lraw[f"lin{i}.model.1.weight"]  # (1, C, 1, 1)
         params[f"lin{i}"] = {"kernel": np.transpose(w, (2, 3, 1, 0))}
     return {"params": params}

@@ -215,11 +215,26 @@ struct LmdbEnv {
     ::close(fd);  // mapping persists
     if (m == MAP_FAILED) return false;
     map = static_cast<const uint8_t*>(m);
-    uint32_t ps0, ps1;
-    uint64_t rt0, rt1, en0, en1;
+    uint32_t ps0 = 0, ps1 = 0;
+    uint64_t rt0 = 0, rt1 = 0, en0 = 0, en1 = 0;
     uint64_t t0 = parse_meta(0, &ps0, &rt0, &en0);
-    if (!t0) { munmap(m, size); map = nullptr; return false; }
-    uint64_t t1 = (ps0 < size) ? parse_meta(ps0, &ps1, &rt1, &en1) : 0;
+    // Meta page 1 lives at one page-size offset. liblmdb tolerates one
+    // torn/corrupt meta by falling back to the other; match that: when
+    // meta 0 is valid its recorded page size locates meta 1, otherwise
+    // probe the OS page size and the common LMDB page sizes (the page
+    // size at creation is the creating host's OS page size).
+    uint64_t t1 = 0;
+    if (t0) {
+      if (ps0 && ps0 + 256 <= size) t1 = parse_meta(ps0, &ps1, &rt1, &en1);
+    } else {
+      size_t cand[] = {(size_t)sysconf(_SC_PAGESIZE), 4096, 8192, 16384, 65536};
+      for (size_t off : cand) {
+        if (off == 0 || off + 256 > size) continue;
+        t1 = parse_meta(off, &ps1, &rt1, &en1);
+        if (t1) break;
+      }
+    }
+    if (!t0 && !t1) { munmap(m, size); map = nullptr; return false; }
     if (t1 > t0) { psize = ps1; root = rt1; entries = en1; }
     else { psize = ps0; root = rt0; entries = en0; }
     return true;

@@ -179,5 +179,16 @@ def maybe_initialize_distributed() -> bool:
     )
     if not any(v in os.environ for v in coordinator_vars):
         return False  # single-host: plain local backend
-    jax.distributed.initialize()
+    # jax.distributed.initialize() reads JAX_COORDINATOR_ADDRESS itself
+    # but sources num_processes/process_id only from cluster plugins
+    # (SLURM/OMPI/TPU metadata). Support plain env-var launches too —
+    # the exact analogue of torch's `init_method="env://"` reading
+    # WORLD_SIZE/RANK (`/root/reference/stylegan2/train.py:370-373`,
+    # launched by torch.distributed.launch which sets those vars).
+    num = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    jax.distributed.initialize(
+        num_processes=int(num) if num is not None else None,
+        process_id=int(pid) if pid is not None else None,
+    )
     return True

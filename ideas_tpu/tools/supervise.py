@@ -91,13 +91,19 @@ def main(argv=None):
         print(f"[supervise] launching: {' '.join(cmd)}", flush=True)
         child = subprocess.Popen(cmd, start_new_session=True)
         launch_t = time.time()
+        launch_size = total_size(watch)
         progressed = False
         # Progress = the watched logs GROW after stall detection arms
         # (end of the startup grace). Headers — config dump, device
         # line, the post-compile "resumed from checkpoint" — all land
         # during the grace window, so they can never reset the restart
         # counter; training lines recur every log_every iters, so real
-        # progress keeps growing the file after arming.
+        # progress keeps growing the file after arming. Progress made
+        # DURING the grace window also counts: a child that trains real
+        # iterations before hanging grows the log far beyond the
+        # per-launch header (~one device line), and abandoning a run
+        # that advances through checkpoints each restart would be wrong.
+        header_allowance = 512  # bytes; per-launch header is ~60
         armed_size = None
         while True:
             try:
@@ -115,6 +121,8 @@ def main(argv=None):
             if not in_grace:
                 if armed_size is None:
                     armed_size = size  # snapshot once, at arming
+                    if size > launch_size + header_allowance:
+                        progressed = True  # grew during grace = real work
                 elif size > armed_size:
                     progressed = True
             # Startup grace: the config/log header is written immediately

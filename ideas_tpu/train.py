@@ -97,6 +97,7 @@ class Trainer:
         self.tx_ex = optax.adam(lr, b1=0.0, b2=0.99, eps=1e-8)
         self.tx_d = optax.adam(lr * rr, b1=0.0 ** rr, b2=0.99 ** rr, eps=1e-8)
         self._step_fns: Dict[bool, Any] = {}
+        self._tag_fn_ids: Dict[str, int] = {}
 
     # -- initialization -----------------------------------------------------
 
@@ -386,6 +387,17 @@ class Trainer:
         cache_key = (do_r1, donate,
                      data_fn_tag if data_fn_tag is not None
                      else id(device_data_fn))
+        if data_fn_tag is not None:
+            # A tag aliases the cache across callable identities; guard
+            # against two DIFFERENT data fns sharing a tag, which would
+            # silently train on whichever compiled first.
+            prev = self._tag_fn_ids.setdefault(data_fn_tag, id(device_data_fn))
+            if prev != id(device_data_fn):
+                raise ValueError(
+                    f"data_fn_tag {data_fn_tag!r} was first used with a "
+                    "different device_data_fn; tags must map 1:1 to data "
+                    "sources (use a new tag for a new data fn)"
+                )
         if cache_key not in self._step_fns:
             inner = self.build_train_step(do_r1)
             if device_data_fn is None:

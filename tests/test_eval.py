@@ -32,6 +32,45 @@ def test_fid_math_identity_and_separation():
     assert abs(d - 16 * 25.0) < 1.0  # ||mu diff||^2 = 16 * 25, covs equal
 
 
+def test_fid_from_stats_known_gaussians():
+    """Frechet arithmetic pinned against hand-computable Gaussians —
+    the one formula in the eval stack a typo could silently corrupt
+    (`fid.py:54-76` vs `/root/reference/stylegan2/fid.py:34-57`)."""
+    # Diagonal case: sqrtm(S1 @ S2) = diag(3, 8).
+    # FID = ||mu||^2 + tr S1 + tr S2 - 2 tr sqrt = 10 + 5 + 25 - 22 = 18.
+    mu1, s1 = np.zeros(2), np.diag([1.0, 4.0])
+    mu2, s2 = np.array([3.0, -1.0]), np.diag([9.0, 16.0])
+    assert fid_lib.fid_from_stats(mu1, s1, mu2, s2) == pytest.approx(18.0, abs=1e-8)
+    # Symmetric in its arguments (tr sqrt(S1 S2) = tr sqrt(S2 S1)).
+    assert fid_lib.fid_from_stats(mu2, s2, mu1, s1) == pytest.approx(18.0, abs=1e-8)
+    # Non-commuting covariances: cross-check against the independent
+    # symmetric closed form tr(S1 + S2 - 2 (S1^{1/2} S2 S1^{1/2})^{1/2}),
+    # computed via eigendecomposition (no scipy.sqrtm shared with the
+    # implementation under test).
+    import numpy.linalg as la
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((4, 4))
+    b = rng.standard_normal((4, 4))
+    s1 = a @ a.T + 0.5 * np.eye(4)
+    s2 = b @ b.T + 0.5 * np.eye(4)
+    mu1 = rng.standard_normal(4)
+    mu2 = rng.standard_normal(4)
+
+    def psd_sqrt(m):
+        w, v = la.eigh(m)
+        return (v * np.sqrt(np.clip(w, 0, None))) @ v.T
+
+    r1 = psd_sqrt(s1)
+    inner = psd_sqrt(r1 @ s2 @ r1)
+    expected = float(
+        (mu1 - mu2) @ (mu1 - mu2)
+        + np.trace(s1) + np.trace(s2) - 2.0 * np.trace(inner)
+    )
+    got = fid_lib.fid_from_stats(mu1, s1, mu2, s2)
+    assert got == pytest.approx(expected, rel=1e-9, abs=1e-9)
+
+
 def test_lpips_zero_self_distance_and_positive():
     m = LPIPS(net="alex")
     x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3),
@@ -82,21 +121,66 @@ def test_lpips_activation_constants():
         np.testing.assert_allclose(d, want[key], rtol=1e-4, err_msg=net)
 
 
-def test_lpips_packaged_linears_are_official():
+@pytest.mark.parametrize("net", ["vgg", "alex", "squeeze"])
+def test_lpips_packaged_linears_are_official(net):
     """The committed lin-head npz must match the reference-vendored .pth
     values bit-for-bit when that file is present (CI has it mounted)."""
     import os
 
     from ideas_tpu.eval.lpips import packaged_linear_path
 
-    pth = "/root/reference/stylegan2/lpips/weights/v0.1/vgg.pth"
+    pth = f"/root/reference/stylegan2/lpips/weights/v0.1/{net}.pth"
     if not os.path.exists(pth):
         pytest.skip("reference weights not mounted")
     torch = pytest.importorskip("torch")
     sd = torch.load(pth, map_location="cpu")
-    ours = dict(np.load(packaged_linear_path("vgg")))
+    ours = dict(np.load(packaged_linear_path(net)))
+    assert len(ours) == len(sd)
     for k, v in sd.items():
         np.testing.assert_array_equal(ours[k], v.numpy(), err_msg=k)
+
+
+def test_l2_and_dssim_fallback_metrics():
+    """The reference's FakeNet L2/DSSIM fallbacks
+    (`lpips/networks_basic.py:144-180`). DSSIM is pinned against an
+    independent numpy implementation on skimage's own backend
+    (scipy.ndimage.uniform_filter + edge crop, unbiased covariance)."""
+    from scipy.ndimage import uniform_filter
+
+    from ideas_tpu.eval.lpips import dssim_distance, l2_distance
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    y = np.clip(x + rng.normal(0, 0.2, x.shape), -1, 1).astype(np.float32)
+
+    got_l2 = np.asarray(l2_distance(jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(
+        got_l2, ((x - y) ** 2).mean(axis=(1, 2, 3)), rtol=1e-5)
+    assert np.allclose(np.asarray(l2_distance(jnp.asarray(x), jnp.asarray(x))), 0)
+
+    def ssim_ref(a, b):  # per-image scalar, skimage compare_ssim semantics
+        a = (a + 1.0) * 127.5
+        b = (b + 1.0) * 127.5
+        c1, c2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+        vals = []
+        for ch in range(a.shape[-1]):
+            p, q = a[..., ch].astype(np.float64), b[..., ch].astype(np.float64)
+            f = lambda m: uniform_filter(m, size=7)
+            up, uq = f(p), f(q)
+            cov_norm = 49.0 / 48.0
+            vp = cov_norm * (f(p * p) - up * up)
+            vq = cov_norm * (f(q * q) - uq * uq)
+            vpq = cov_norm * (f(p * q) - up * uq)
+            s = ((2 * up * uq + c1) * (2 * vpq + c2)) / (
+                (up ** 2 + uq ** 2 + c1) * (vp + vq + c2))
+            vals.append(s[3:-3, 3:-3].mean())  # crop the 7//2 edge
+        return np.mean(vals)
+
+    got = np.asarray(dssim_distance(jnp.asarray(x), jnp.asarray(y)))
+    want = np.array([(1 - ssim_ref(x[i], y[i])) / 2 for i in range(len(x))])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+    assert np.allclose(
+        np.asarray(dssim_distance(jnp.asarray(x), jnp.asarray(x))), 0, atol=1e-6)
 
 
 def test_ppl_slerp_endpoints():

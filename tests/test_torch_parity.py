@@ -309,3 +309,87 @@ def test_lpips_port_and_loader(tmp_path):
     got = np.asarray(jax.jit(LPIPS(net="vgg").apply)(
         params, _nhwc(x), _nhwc(y)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_lpips_squeeze_port_and_loader(tmp_path):
+    """Squeeze LPIPS variant vs a torch oracle that replicates
+    torchvision's squeezenet1_1 `.features` (random weights — Fire
+    modules and ceil-mode pooling included, state_dict keys in the
+    torchvision layout) with the REAL packaged squeeze lin heads on both
+    sides. The third net-lin variant the reference vendors
+    (`lpips/pretrained_networks.py:6-54`, `weights/v0.1/squeeze.pth`)."""
+    from ideas_tpu.eval.lpips import LPIPS, load_weights_npz, packaged_linear_path
+
+    class _Fire(torch.nn.Module):
+        def __init__(self, cin, s1, e1, e3):
+            super().__init__()
+            self.squeeze = torch.nn.Conv2d(cin, s1, 1)
+            self.expand1x1 = torch.nn.Conv2d(s1, e1, 1)
+            self.expand3x3 = torch.nn.Conv2d(s1, e3, 3, padding=1)
+
+        def forward(self, x):
+            s = torch.relu(self.squeeze(x))
+            return torch.cat(
+                [torch.relu(self.expand1x1(s)),
+                 torch.relu(self.expand3x3(s))], 1)
+
+    tnet = torch.nn.Sequential(
+        torch.nn.Conv2d(3, 64, 3, stride=2),       # 0
+        torch.nn.ReLU(),                            # 1
+        torch.nn.MaxPool2d(3, 2, ceil_mode=True),   # 2
+        _Fire(64, 16, 64, 64),                      # 3
+        _Fire(128, 16, 64, 64),                     # 4
+        torch.nn.MaxPool2d(3, 2, ceil_mode=True),   # 5
+        _Fire(128, 32, 128, 128),                   # 6
+        _Fire(256, 32, 128, 128),                   # 7
+        torch.nn.MaxPool2d(3, 2, ceil_mode=True),   # 8
+        _Fire(256, 48, 192, 192),                   # 9
+        _Fire(384, 48, 192, 192),                   # 10
+        _Fire(384, 64, 256, 256),                   # 11
+        _Fire(512, 64, 256, 256),                   # 12
+    ).eval()
+    g = torch.Generator().manual_seed(11)
+    with torch.no_grad():
+        for p in tnet.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+    sd = {f"features.{k}": v.detach().numpy()
+          for k, v in tnet.state_dict().items()}
+    backbone_npz = tmp_path / "squeezenet1_1.npz"
+    np.savez(backbone_npz, **sd)
+
+    lins = {k: torch.tensor(v) for k, v in
+            dict(np.load(packaged_linear_path("squeeze"))).items()}
+    shift = torch.tensor([-.030, -.088, -.188])[None, :, None, None]
+    scale = torch.tensor([.458, .448, .450])[None, :, None, None]
+    taps = {1, 4, 7, 9, 10, 11, 12}  # pretrained_networks.py:18-31
+
+    def tfeats(x):
+        feats = []
+        for i, m in enumerate(tnet):
+            x = m(x)
+            if i in taps:
+                feats.append(x)
+        return feats
+
+    def torch_lpips(x, y):
+        fx = tfeats((x - shift) / scale)
+        fy = tfeats((y - shift) / scale)
+        total = 0.0
+        for i, (a, b) in enumerate(zip(fx, fy)):
+            na = a / (a.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            nb = b / (b.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            d = (na - nb) ** 2
+            w = lins[f"lin{i}.model.1.weight"]
+            total = total + torch.nn.functional.conv2d(d, w).mean((1, 2, 3))
+        return total
+
+    x = torch.rand(2, 3, 64, 64, generator=g) * 2 - 1
+    y = torch.rand(2, 3, 64, 64, generator=g) * 2 - 1
+    with torch.no_grad():
+        want = torch_lpips(x, y).numpy()
+
+    params = load_weights_npz("squeeze", str(backbone_npz),
+                              packaged_linear_path("squeeze"))
+    got = np.asarray(jax.jit(LPIPS(net="squeeze").apply)(
+        params, _nhwc(x), _nhwc(y)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
