@@ -18,8 +18,9 @@ second):
 
 * `value` (headline): `share_phase_noise` on — one noise draw serves
   both GAN phases so XLA CSE merges the duplicated generator forward.
-  Quality A/B-verified at the paper 256^2/80k budget (PERF.md round-3
-  run) and at 128^2/6k.
+  Quality A/B-verified at 128^2/6k; the round-3 80k paper-budget run
+  trains with the flag (its final-eval sweep in PERF.md is the
+  256^2-at-budget quality evidence).
 * `value_reference_semantics`: share off — noise re-sampled per phase
   exactly like the reference (`train.py:60-64,148-152`), for an
   apples-to-apples algorithmic comparison.

@@ -17,7 +17,7 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int = 5):
+    def __init__(self, directory: str, max_to_keep: Optional[int] = 5):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self._mngr = ocp.CheckpointManager(
@@ -33,6 +33,11 @@ class CheckpointManager:
 
     def latest_step(self) -> Optional[int]:
         return self._mngr.latest_step()
+
+    def all_steps(self):
+        """Sorted list of every retained checkpoint step (for post-hoc
+        metric trajectories over a run, e.g. tools_fid_trajectory.py)."""
+        return sorted(self._mngr.all_steps())
 
     def restore(self, state_template, step: Optional[int] = None):
         """Restore into the structure of `state_template` (an abstract or

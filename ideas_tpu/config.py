@@ -62,10 +62,23 @@ class TrainConfig:
     # XLA CSE merges — fewer FLOPs per step. Note the semantic coupling:
     # G then trains against a D freshly updated on exactly these fakes
     # and patch crops (a standard same-batch GAN formulation, but not
-    # the reference's). Quality A/B-verified at 128^2/6k and at the
-    # paper 256^2/80k budget (PERF.md); both phases still see fresh
-    # noise each iteration. Measured throughput win in PERF.md.
+    # the reference's). Quality A/B-verified at 128^2/6k; the round-3
+    # 80k paper-budget run trains with the flag (final-eval sweep in
+    # PERF.md). Both phases still see fresh noise each iteration.
+    # Measured throughput win in PERF.md.
     share_phase_noise: bool = False
+    # Compact Adam (0 = off, reference-faithful optax.adam states). All
+    # three optimizers run b1=0 (`/root/reference/train.py:416-432`), so
+    # Adam's first moment IS the gradient — storing it is pure HBM
+    # capacity + bandwidth waste. When on, optimizer state is the second
+    # moment only (exact same update sequence; verified vs optax.adam in
+    # tests/test_optim.py), cutting optimizer memory 2x. NOTE: flips the
+    # checkpointed opt-state structure, so it must match between a run
+    # and its resume.
+    compact_adam: bool = False
+    # Second-moment dtype for compact_adam ('float32' exact;
+    # 'bfloat16' halves it again — approximate, bench A/B in PERF.md).
+    adam_nu_dtype: str = "float32"
     experiments_dir: str = "experiments"
     ema_halflife_kimg: float = 10.0  # accum = 0.5 ** (32/(10*1000)), train.py:30
 

@@ -49,6 +49,7 @@ from ideas_tpu.losses import (
     patchify_image,
 )
 from ideas_tpu.models import init_model
+from ideas_tpu.optim import make_adam
 from ideas_tpu.stego import (
     message_from_tensor_nhwc,
     tensor_nhwc_from_message,
@@ -92,10 +93,12 @@ class Trainer:
         # Optimizers (train.py:416-432): Adam(0, 0.99); the D optimizer's
         # lr/betas are scaled by d_reg_every/(d_reg_every+1) (lazy-reg
         # correction from StyleGAN2).
+        # 0.0**rr == 0.0, so all three run b1=0 and qualify for the
+        # compact (no-first-moment) Adam behind cfg.compact_adam.
         lr, rr = cfg.lr, cfg.d_reg_every / (cfg.d_reg_every + 1)
-        self.tx_g = optax.adam(lr, b1=0.0, b2=0.99, eps=1e-8)
-        self.tx_ex = optax.adam(lr, b1=0.0, b2=0.99, eps=1e-8)
-        self.tx_d = optax.adam(lr * rr, b1=0.0 ** rr, b2=0.99 ** rr, eps=1e-8)
+        self.tx_g = make_adam(cfg, lr, b2=0.99, eps=1e-8)
+        self.tx_ex = make_adam(cfg, lr, b2=0.99, eps=1e-8)
+        self.tx_d = make_adam(cfg, lr * rr, b2=0.99 ** rr, eps=1e-8)
         self._step_fns: Dict[bool, Any] = {}
         self._tag_fn_ids: Dict[str, int] = {}
 

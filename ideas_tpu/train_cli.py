@@ -55,6 +55,13 @@ def parse_args(argv=None) -> TrainConfig:
     p.add_argument("--share_phase_noise", action="store_true",
                    help="one noise draw serves both GAN phases (XLA CSEs "
                         "the duplicated generator forward; see PERF.md)")
+    p.add_argument("--compact_adam", action="store_true",
+                   help="second-moment-only Adam states (exact for b1=0; "
+                        "2x less optimizer HBM — see ideas_tpu/optim.py). "
+                        "Must match between a run and its resume.")
+    p.add_argument("--adam_nu_dtype", choices=["float32", "bfloat16"],
+                   default=defaults.adam_nu_dtype,
+                   help="compact-Adam second-moment storage dtype")
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--experiments_dir", type=str, default=defaults.experiments_dir)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
@@ -62,6 +69,9 @@ def parse_args(argv=None) -> TrainConfig:
                    help="force a JAX platform (e.g. cpu) before backend init")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of iters 10-15 here")
+    p.add_argument("--keep_checkpoints", type=int, default=5,
+                   help="checkpoint rotation depth (0 = keep all; used "
+                        "for post-hoc metric trajectories over a run)")
     a = p.parse_args(argv)
     if a.synthetic_family != "default" and a.dataset_type != "synthetic_device":
         p.error("--synthetic_family is only consulted by "
@@ -78,6 +88,7 @@ def parse_args(argv=None) -> TrainConfig:
     if a.bf16:
         cfg = cfg.replace(compute_dtype=jnp.bfloat16)
     cfg.profile_dir = a.profile_dir  # transient, not part of the dataclass
+    cfg.keep_checkpoints = a.keep_checkpoints  # transient, like profile_dir
     return cfg
 
 
@@ -129,7 +140,8 @@ def main(cfg: TrainConfig) -> None:
 
     trainer = Trainer(cfg, mesh=mesh)
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
-    manager = CheckpointManager(ckpt_dir)
+    keep = getattr(cfg, "keep_checkpoints", 5)
+    manager = CheckpointManager(ckpt_dir, max_to_keep=(None if keep == 0 else keep))
     start_iter = 0
     if cfg.ckpt is not None or manager.latest_step() is not None:
         step = int(cfg.ckpt) if cfg.ckpt else manager.latest_step()

@@ -34,3 +34,23 @@ def test_save_restore_roundtrip(tmp_path):
     # through the same dict loop)
     for a, b in zip(jax.tree.leaves(state.opt_g), jax.tree.leaves(restored.opt_g)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_all_steps_and_rotation(tmp_path):
+    """all_steps enumerates retained checkpoints; max_to_keep=None keeps
+    every save (the --keep_checkpoints 0 trajectory mode), the default
+    rotates."""
+    state = {"step": jnp.asarray(0, jnp.int32), "w": jnp.ones((3,))}
+
+    keep_all = CheckpointManager(str(tmp_path / "all"), max_to_keep=None)
+    for s in (5, 10, 15, 20):
+        keep_all.save(s, {**state, "step": jnp.asarray(s, jnp.int32)})
+    assert keep_all.all_steps() == [5, 10, 15, 20]
+
+    rotating = CheckpointManager(str(tmp_path / "rot"), max_to_keep=2)
+    for s in (5, 10, 15):
+        rotating.save(s, {**state, "step": jnp.asarray(s, jnp.int32)})
+    assert rotating.all_steps() == [10, 15]
+    assert rotating.latest_step() == 15
+    restored = rotating.restore({**state})
+    assert int(restored["step"]) == 15

@@ -174,3 +174,31 @@ def test_train_step_share_phase_noise():
         before = jax.tree.leaves(state.params[group])[0]
         after = jax.tree.leaves(state1.params[group])[0]
         assert not np.allclose(np.asarray(before), np.asarray(after)), group
+
+
+def test_train_step_compact_adam_matches_reference_adam():
+    """cfg.compact_adam stores second moments only but must produce the
+    SAME parameter trajectory as optax.adam(b1=0) (ideas_tpu/optim.py):
+    run one full step (incl. R1, all three optimizers) both ways from
+    identical state and compare every updated parameter."""
+    cfg_ref = tiny_config()
+    cfg_cmp = tiny_config(compact_adam=True)
+    x = _batch(cfg_ref)
+    results = []
+    for cfg in (cfg_ref, cfg_cmp):
+        tr = Trainer(cfg)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        step = tr.train_step_fn(do_r1=True)
+        state1, metrics = step(state, x, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["Loss_total"]))
+        results.append(state1)
+    ref, cmp_ = results
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(ref.params),
+        jax.tree_util.tree_leaves_with_path(cmp_.params),
+    ):
+        assert pa == pb
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-7,
+            err_msg=jax.tree_util.keystr(pa),
+        )

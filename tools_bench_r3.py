@@ -1,0 +1,119 @@
+"""Round-3 perf-candidate bench: ONE config per process invocation
+(a failed config's HBM poisons the next in-process — PERF.md gotcha).
+
+    python tools_bench_r3.py <mode> [batch=8] [iters=48]
+
+Modes (all: 256^2, channel 32, bf16 compute, share_phase_noise on —
+the bench.py headline config — unless stated):
+
+    base           headline config, control datapoint
+    compact        + compact_adam (fp32 nu; exact update parity)
+    compact_bf16   + compact_adam with bfloat16 nu
+    rgb_micro      standalone micro-bench: C=3 from/to-RGB convs vs
+                   8-lane-padded variants (no trainer)
+"""
+
+import sys
+import time
+
+
+def sync_scalar(x):
+    import jax
+    import jax.numpy as jnp
+
+    return float(jax.device_get(jnp.sum(x)))
+
+
+def bench_step(**cfg_kw):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ideas_tpu.config import TrainConfig
+    from ideas_tpu.train import Trainer
+
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 48
+    cfg = TrainConfig(image_size=256, channel=32, batch_size=batch,
+                      compute_dtype=jnp.bfloat16, share_phase_noise=True,
+                      **cfg_kw)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    x = jax.device_put(np.random.default_rng(0)
+                       .uniform(-1, 1, (batch, 256, 256, 3)).astype(np.float32))
+    step_plain = trainer.train_step_fn(do_r1=False, donate=True)
+    step_r1 = trainer.train_step_fn(do_r1=True, donate=True)
+    for _ in range(2):
+        state, m = step_plain(state, x)
+    state, m = step_r1(state, x)
+    sync_scalar(m["Loss_total"])
+    t0 = time.time()
+    n = 0
+    for i in range(iters):
+        fn = step_r1 if (i + 1) % cfg.d_reg_every == 0 else step_plain
+        state, m = fn(state, x)
+        n += batch
+    sync_scalar(m["Loss_total"])
+    dt = time.time() - t0
+    print(f"RESULT {sys.argv[1]}: {n/dt:.2f} imgs/s "
+          f"({dt/iters*1000:.2f} ms/step, batch {batch}, {iters} iters)")
+    print("BENCH_R3_OK")
+
+
+def bench_rgb_micro():
+    """C=3 boundary convs: does explicit lane padding beat XLA's own
+    handling of 3-channel operands? Measures the two real boundary ops:
+      from_rgb: 1x1 conv 3->32 at 256^2 (encoder stem / D stems)
+      to_rgb:   1x1 conv 128->3 at 256^2 (generator head)
+    against variants where C=3 is zero-padded to 8 lanes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    B, H = 24, 256  # the trainer's 3x-batch generator/discriminator load
+    rng = np.random.default_rng(0)
+    x3 = jnp.asarray(rng.standard_normal((B, H, H, 3)), jnp.bfloat16)
+    x8 = jnp.pad(x3, ((0, 0), (0, 0), (0, 0), (0, 5)))
+    f128 = jnp.asarray(rng.standard_normal((B, H, H, 128)), jnp.bfloat16)
+    w3_32 = jnp.asarray(rng.standard_normal((1, 1, 3, 32)), jnp.bfloat16)
+    w8_32 = jnp.pad(w3_32, ((0, 0), (0, 0), (0, 5), (0, 0)))
+    w128_3 = jnp.asarray(rng.standard_normal((1, 1, 128, 3)), jnp.bfloat16)
+    w128_8 = jnp.pad(w128_3, ((0, 0), (0, 0), (0, 0), (0, 5)))
+
+    def conv(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    cases = {
+        "from_rgb C=3": jax.jit(lambda: conv(x3, w3_32)),
+        "from_rgb padded C=8": jax.jit(lambda: conv(x8, w8_32)),
+        "to_rgb Cout=3": jax.jit(lambda: conv(f128, w128_3)),
+        "to_rgb padded Cout=8": jax.jit(lambda: conv(f128, w128_8)),
+    }
+    for name, fn in cases.items():
+        sync_scalar(fn())  # compile
+        t0 = time.time()
+        out = None
+        for _ in range(50):
+            out = fn()
+        sync_scalar(out)
+        print(f"RESULT {name}: {(time.time()-t0)/50*1000:.3f} ms")
+    print("BENCH_R3_OK")
+
+
+def main():
+    mode = sys.argv[1]
+    if mode == "base":
+        bench_step()
+    elif mode == "compact":
+        bench_step(compact_adam=True)
+    elif mode == "compact_bf16":
+        bench_step(compact_adam=True, adam_nu_dtype="bfloat16")
+    elif mode == "rgb_micro":
+        bench_rgb_micro()
+    else:
+        raise SystemExit(f"unknown mode {mode}")
+
+
+if __name__ == "__main__":
+    main()
