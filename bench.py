@@ -48,6 +48,11 @@ def measure(share: bool, batch: int, iters: int, dtype):
         batch_size=batch,
         compute_dtype=dtype,
         share_phase_noise=share,
+        # Exact-parity optimizer-state compaction (optax.adam b1=0 update
+        # sequence, tests/test_optim.py) — +0.7% measured, PERF.md round-3
+        # ledger #5. Applies to BOTH variants: it does not change the
+        # algorithm, so the reference-semantics line stays apples-to-apples.
+        compact_adam=os.environ.get("BENCH_COMPACT_ADAM", "1") == "1",
     )
     trainer = Trainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))

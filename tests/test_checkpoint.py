@@ -36,6 +36,34 @@ def test_save_restore_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_save_restore_roundtrip_compact_adam(tmp_path):
+    """compact_adam flips the opt-state pytree structure (second moment
+    only, ideas_tpu/optim.py) — a run trained with the flag must resume
+    from its own checkpoints, and the restored state must keep training
+    (the supervisor restart path of the round-3 80k run)."""
+    cfg = tiny_config(image_size=64, channel=4, compact_adam=True)
+    tr = Trainer(cfg)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(
+            -1, 1, (cfg.batch_size, cfg.image_size, cfg.image_size, 3)
+        ),
+        jnp.float32,
+    )
+    step = tr.train_step_fn(do_r1=False)
+    state, _ = step(state, x, jax.random.PRNGKey(1))
+
+    mngr = CheckpointManager(str(tmp_path / "ckpt"))
+    mngr.save(1, jax.device_get(state))
+    template = tr.init_state(jax.random.PRNGKey(2))
+    restored = mngr.restore(template)
+    for a, b in zip(jax.tree.leaves(state.opt_g), jax.tree.leaves(restored.opt_g)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the restored state steps (structure matches the compiled step)
+    restored, metrics = step(restored, x, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["Loss_total"]))
+
+
 def test_all_steps_and_rotation(tmp_path):
     """all_steps enumerates retained checkpoints; max_to_keep=None keeps
     every save (the --keep_checkpoints 0 trajectory mode), the default

@@ -80,22 +80,26 @@ def bench_rgb_micro():
     w128_3 = jnp.asarray(rng.standard_normal((1, 1, 128, 3)), jnp.bfloat16)
     w128_8 = jnp.pad(w128_3, ((0, 0), (0, 0), (0, 0), (0, 5)))
 
+    # Arrays are ARGUMENTS, not closures: a closed-over 384 MB bf16
+    # activation becomes an HLO constant and blows the axon remote-compile
+    # request body limit (HTTP 413, observed round 3).
+    @jax.jit
     def conv(x, w):
         return jax.lax.conv_general_dilated(
             x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     cases = {
-        "from_rgb C=3": jax.jit(lambda: conv(x3, w3_32)),
-        "from_rgb padded C=8": jax.jit(lambda: conv(x8, w8_32)),
-        "to_rgb Cout=3": jax.jit(lambda: conv(f128, w128_3)),
-        "to_rgb padded Cout=8": jax.jit(lambda: conv(f128, w128_8)),
+        "from_rgb C=3": (x3, w3_32),
+        "from_rgb padded C=8": (x8, w8_32),
+        "to_rgb Cout=3": (f128, w128_3),
+        "to_rgb padded Cout=8": (f128, w128_8),
     }
-    for name, fn in cases.items():
-        sync_scalar(fn())  # compile
+    for name, (x, w) in cases.items():
+        sync_scalar(conv(x, w))  # compile
         t0 = time.time()
         out = None
         for _ in range(50):
-            out = fn()
+            out = conv(x, w)
         sync_scalar(out)
         print(f"RESULT {name}: {(time.time()-t0)/50*1000:.3f} ms")
     print("BENCH_R3_OK")
