@@ -51,7 +51,11 @@ def main():
           f"family={family}; n_sample={n_sample} batch={batch}", flush=True)
 
     trainer = Trainer(cfg)
-    state = trainer.init_state(jax.random.PRNGKey(0))
+    # Abstract restore template (no init compile — orbax needs only
+    # shapes/dtypes/structure; the real arrays come from the checkpoint).
+    state = jax.eval_shape(
+        lambda k: trainer.init_state(k), jax.random.PRNGKey(0)
+    )
     manager = CheckpointManager(f"{exp_dir}/checkpoints")
     steps = manager.all_steps()
     print(f"checkpoints: {steps}", flush=True)

@@ -20,9 +20,19 @@ def _cfg_from_experiment(exp_dir):
 
     over = {}
     path = os.path.join(exp_dir, "training_config.txt")
+
+    def _bool(v):
+        return v.strip() == "True"
+
+    # compact_adam/adam_nu_dtype flip the OPT-STATE pytree structure, so
+    # the checkpoint-restore template must be built with them or orbax
+    # rejects the tree (the round-3 80k run trains with --compact_adam).
     want = {"image_size": int, "channel": int, "batch_size": int, "N": int,
             "texture_channel": int, "structure_channel": int,
-            "num_iters": int, "channel_multiplier": int}
+            "num_iters": int, "channel_multiplier": int,
+            "lambda_Ex": float, "ex_margin": float,
+            "compact_adam": _bool, "share_phase_noise": _bool,
+            "adam_nu_dtype": str, "synthetic_family": str}
     if os.path.exists(path):
         for line in open(path):
             k, _, v = line.partition(":")
@@ -50,10 +60,15 @@ def main():
     print(f"config: size={cfg.image_size} channel={cfg.channel} "
           f"N={cfg.N} batch={cfg.batch_size} dtype={cfg.compute_dtype}")
     trainer = Trainer(cfg)
-    state = trainer.init_state(jax.random.PRNGKey(0))
+    # Abstract template: eval_shape traces init_state without compiling
+    # it (the init program alone is minutes of remote compile on the
+    # relay); orbax only needs shapes/dtypes/structure to restore.
+    template = jax.eval_shape(
+        lambda k: trainer.init_state(k), jax.random.PRNGKey(0)
+    )
     manager = CheckpointManager(f"{exp_dir}/checkpoints")
     step = manager.latest_step()
-    state = manager.restore(state, step)
+    state = manager.restore(template, step)
     print(f"checkpoint iter: {int(jax.device_get(state.step))}", flush=True)
 
     sweep = extraction_accuracy_sweep(
