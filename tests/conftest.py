@@ -16,6 +16,16 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+if "collective_call_terminate_timeout" not in os.environ["XLA_FLAGS"]:
+    # On a 1-core host the 8 virtual devices are threads; the default
+    # 40 s rendezvous *termination* timeout SIGABRTs the whole process
+    # when another process (e.g. a live TPU training run's host loop)
+    # competes for the core mid-collective. Same flags as
+    # __graft_entry__.dryrun_multichip.
+    os.environ["XLA_FLAGS"] += (
+        " --xla_cpu_collective_call_terminate_timeout_seconds=900"
+        " --xla_cpu_collective_timeout_seconds=900"
+    )
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
