@@ -1,9 +1,16 @@
 """Component-level timing on the real chip (dev tool, not shipped API).
 
 Times each piece of the 256^2 train step with forced materialization to
-find where the milliseconds go. Usage: python tools_profile_components.py
+find where the milliseconds go.
+
+    python tools_profile_components.py [share=1] [compact=1]
+
+Defaults profile the ADOPTED headline config (share_phase_noise +
+compact Adam — the round-3 bench recipe); pass share=0 / compact=0 for
+the reference-semantics control.
 """
 
+import sys
 import time
 
 import jax
@@ -13,6 +20,13 @@ import numpy as np
 from ideas_tpu.config import TrainConfig
 from ideas_tpu.losses import patchify_image
 from ideas_tpu.train import Trainer
+
+
+def _argv_flag(name, default):
+    for tok in sys.argv[1:]:
+        if tok.startswith(name + "="):
+            return bool(int(tok.split("=", 1)[1]))
+    return default
 
 
 def timeit(name, fn, *args, iters=10):
@@ -29,8 +43,12 @@ def timeit(name, fn, *args, iters=10):
 
 def main():
     b = 8
+    share = _argv_flag("share", True)
+    compact = _argv_flag("compact", True)
+    print(f"config: share_phase_noise={share} compact_adam={compact}")
     cfg = TrainConfig(image_size=256, channel=32, batch_size=b,
-                      compute_dtype=jnp.bfloat16)
+                      compute_dtype=jnp.bfloat16,
+                      share_phase_noise=share, compact_adam=compact)
     tr = Trainer(cfg)
     state = tr.init_state(jax.random.PRNGKey(0))
     p = state.params
