@@ -9,6 +9,8 @@
 # own log under /tmp and a STAGE_OK marker line; the chain aborts on the
 # first failure so a broken stage can't waste TPU hours downstream.
 set -u
+PY=/opt/venv/bin/python
+[ -x "$PY" ] || PY=python  # fall back when the venv moves
 cd /root/repo
 CHAIN_LOG=/tmp/chain.log
 exec >> "$CHAIN_LOG" 2>&1
@@ -27,14 +29,14 @@ fi
 stage "80k run complete"
 
 stage "final eval: n1_80k_bestrecipe"
-timeout 2400 python tools_final_eval.py experiments/n1_80k_bestrecipe 16 \
+timeout 2400 "$PY" tools_final_eval.py experiments/n1_80k_bestrecipe 16 \
   > /tmp/feval80k.log 2>&1
 grep -q "FINAL_EVAL_OK" /tmp/feval80k.log || { stage "ABORT: 80k final eval failed"; exit 1; }
 stage "final eval 80k OK"
 
 stage "launching N=2 20k run"
-python -m ideas_tpu.tools.supervise --stall-minutes 15 -- \
-  python -m ideas_tpu.train_cli --exp_name n2_20k_bestrecipe \
+"$PY" -m ideas_tpu.tools.supervise --stall-minutes 15 -- \
+  "$PY" -m ideas_tpu.train_cli --exp_name n2_20k_bestrecipe \
     --dataset_type synthetic_device --num_iters 20000 --N 2 \
     --image_size 256 --channel 32 --batch_size 8 --bf16 \
     --lambda_Ex 30 --ex_margin 0.2 --share_phase_noise \
@@ -47,13 +49,13 @@ fi
 stage "N=2 run complete"
 
 stage "final eval: n2_20k_bestrecipe"
-timeout 2400 python tools_final_eval.py experiments/n2_20k_bestrecipe 16 \
+timeout 2400 "$PY" tools_final_eval.py experiments/n2_20k_bestrecipe 16 \
   > /tmp/feval_n2.log 2>&1
 grep -q "FINAL_EVAL_OK" /tmp/feval_n2.log || { stage "ABORT: N=2 final eval failed"; exit 1; }
 stage "final eval N=2 OK"
 
 stage "FID trajectory over the 80k checkpoints"
-timeout 7200 python tools_fid_trajectory.py experiments/n1_80k_bestrecipe 2000 32 \
+timeout 7200 "$PY" tools_fid_trajectory.py experiments/n1_80k_bestrecipe 2000 32 \
   > /tmp/fidtraj.log 2>&1
 stage "FID trajectory done (rc=$?)"
 
