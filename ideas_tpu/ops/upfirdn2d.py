@@ -27,6 +27,7 @@ All functions take NHWC (TPU-native layout); the reference is NCHW.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -95,12 +96,42 @@ def upfirdn2d(
     )
 
 
-def _depthwise_conv(x, k_ohwi, strides, padding, lhs_dilation):
-    """Depthwise NHWC conv. k_ohwi: (kh, kw, 1, C) HWIO kernel."""
+def _depthwise_conv(x, k_hw11, strides, padding, lhs_dilation):
+    """Apply ONE FIR kernel to every channel of an NHWC tensor.
+
+    k_hw11: (kh, kw, 1, 1) HWIO kernel (the same taps for all channels —
+    every FIR resample in the model family works this way).
+
+    TPU (and other accelerators): a single depthwise
+    `conv_general_dilated` with feature_group_count=C — XLA fuses the
+    zero-stuffing/pad/decimate pipeline into one op and the layout stays
+    NHWC end to end.
+
+    CPU (the test suite's 8 virtual devices and the driver's multi-chip
+    dry-run gate): XLA:CPU lowers grouped convolutions outside its fast
+    Eigen path — measured 7.5x slower forward / 4x slower gradient than
+    the equivalent group=1 conv at (64, 64, C=64). Fold the channels
+    into the batch dimension and run a single-channel conv instead;
+    results are bit-identical (same taps per channel), and the transpose
+    (gradient) rule inherits the fast path too.
+    """
     c = x.shape[-1]
+    if jax.default_backend() == "cpu":
+        n, h, w, _ = x.shape
+        y = jnp.moveaxis(x, 3, 1).reshape(n * c, h, w, 1)
+        y = lax.conv_general_dilated(
+            y,
+            k_hw11,
+            window_strides=strides,
+            padding=padding,
+            lhs_dilation=lhs_dilation,
+            rhs_dilation=(1, 1),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return jnp.moveaxis(y.reshape(n, c, y.shape[1], y.shape[2]), 1, 3)
     return lax.conv_general_dilated(
         x,
-        k_ohwi,
+        jnp.tile(k_hw11, (1, 1, 1, c)),
         window_strides=strides,
         padding=padding,
         lhs_dilation=lhs_dilation,
@@ -112,11 +143,8 @@ def _depthwise_conv(x, k_ohwi, strides, padding, lhs_dilation):
 
 def _upfirdn2d_full(x, kernel, up_y, up_x, down_y, down_x,
                     pad_y0, pad_y1, pad_x0, pad_x1):
-    n, h, w, c = x.shape
-    kh, kw = kernel.shape
     # Convolution == correlation with the flipped kernel.
-    k = jnp.flip(kernel, (0, 1)).astype(x.dtype)
-    k = jnp.tile(k[:, :, None, None], (1, 1, 1, c))
+    k = jnp.flip(kernel, (0, 1)).astype(x.dtype)[:, :, None, None]
     # lhs_dilation inserts (up-1) zeros *between* samples only; the
     # reference's zero-stuffing also appends (up-1) trailing zeros
     # (`upfirdn2d.py:168-170`), which we fold into the right/bottom pad.
@@ -135,15 +163,14 @@ def _upfirdn2d_full(x, kernel, up_y, up_x, down_y, down_x,
 
 def _upfirdn1d(x, taps, up, down, pad0, pad1, axis):
     """1-D upfirdn along a spatial axis of an NHWC tensor."""
-    c = x.shape[-1]
     k = jnp.flip(taps, 0).astype(x.dtype)
     if axis == 1:
-        kk = jnp.tile(k[:, None, None, None], (1, 1, 1, c))
+        kk = k[:, None, None, None]
         pads = ((pad0, pad1 + up - 1), (0, 0))
         strides = (down, 1)
         dil = (up, 1)
     elif axis == 2:
-        kk = jnp.tile(k[None, :, None, None], (1, 1, 1, c))
+        kk = k[None, :, None, None]
         pads = ((0, 0), (pad0, pad1 + up - 1))
         strides = (1, down)
         dil = (1, up)

@@ -67,14 +67,28 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch):
     """Place a host batch onto the mesh: leading axis over `data`, and
-    (2-D mesh, rank>=2 leaves) height over `space`."""
+    (2-D mesh, rank>=2 leaves) height over `space`.
+
+    Single-process: a plain sharded device_put. Multi-process (the mesh
+    spans `jax.distributed` processes): each process passes its LOCAL
+    shard of the batch and the leaves are assembled into global arrays —
+    the data-loader contract of the reference's DDP sampler
+    (`/root/reference/stylegan2/train.py:425-438`), mesh-native."""
+    multiprocess = jax.process_count() > 1
 
     def put(a):
         if SPACE_AXIS in mesh.axis_names and getattr(a, "ndim", 0) >= 2:
             spec = P(DATA_AXIS, SPACE_AXIS)
         else:
             spec = P(DATA_AXIS)
-        return jax.device_put(a, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multiprocess:
+            a = np.asarray(a)
+            global_shape = (a.shape[0] * jax.process_count(),) + a.shape[1:]
+            return jax.make_array_from_process_local_data(
+                sharding, a, global_shape
+            )
+        return jax.device_put(a, sharding)
 
     return jax.tree.map(put, batch)
 

@@ -140,10 +140,16 @@ class Trainer:
                 opt_d=self.tx_d.init({k: params[k] for k in D_GROUP}),
             )
 
-        state = _init(ks)
         if self.mesh is not None:
-            state = parallel.replicate(self.mesh, state)
-        return state
+            # Produce GLOBAL replicated arrays directly from the init
+            # program: one jitted program, no separate host->device
+            # re-placement, and — unlike a device_put of process-local
+            # arrays — valid under multi-process `jax.distributed`
+            # (every process runs the same deterministic init).
+            return jax.jit(
+                _init, out_shardings=parallel.replicated(self.mesh)
+            )(ks)
+        return _init(ks)
 
     # -- shared forward pieces ----------------------------------------------
 

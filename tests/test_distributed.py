@@ -55,7 +55,50 @@ print(f"PSUM_OK rank={pid} out={out}", flush=True)
 """
 
 
-def test_two_process_psum(tmp_path):
+_TRAIN_CHILD = r"""
+import os, sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from ideas_tpu import parallel
+
+ok = parallel.maybe_initialize_distributed()
+assert ok, "coordinator env vars set but initialize() was not attempted"
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 4, jax.devices()  # 2 procs x 2 virtual devices
+pid = jax.process_index()
+
+import numpy as np
+import jax.numpy as jnp
+from ideas_tpu.config import tiny_config
+from ideas_tpu.train import Trainer
+
+mesh = parallel.make_mesh()  # 1-D data mesh over the 4 GLOBAL devices
+cfg = tiny_config(batch_size=4, channel=4, n_crop=1, ref_crop=1)
+trainer = Trainer(cfg, mesh=mesh)
+state = trainer.init_state(jax.random.PRNGKey(0))
+
+# Each process contributes its LOCAL half of the global batch (the DDP
+# per-rank data-loader shard); shard_batch assembles the global array.
+local = (
+    np.random.default_rng(pid)
+    .uniform(-1, 1, (2, cfg.image_size, cfg.image_size, 3))
+    .astype(np.float32)
+)
+x = parallel.shard_batch(mesh, local)
+assert x.shape == (4, cfg.image_size, cfg.image_size, 3), x.shape
+
+step = trainer.train_step_fn(do_r1=True)
+state, metrics = step(state, x, jax.random.PRNGKey(1))
+jax.block_until_ready(state)
+loss = float(jax.device_get(metrics["Loss_total"]))
+assert np.isfinite(loss), loss
+print(f"TRAIN_STEP_OK rank={pid} loss_finite=True", flush=True)
+"""
+
+
+def _run_two_ranks(child_src, timeout, extra_env=None):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -63,14 +106,16 @@ def test_two_process_psum(tmp_path):
     procs = []
     for rank in range(2):
         env = dict(os.environ)
-        env.pop("XLA_FLAGS", None)  # no virtual device splitting here
+        env.pop("XLA_FLAGS", None)
         env["JAX_PLATFORMS"] = "cpu"
         env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
         env["JAX_NUM_PROCESSES"] = "2"
         env["JAX_PROCESS_ID"] = str(rank)
+        if extra_env:
+            env.update(extra_env)
         procs.append(
             subprocess.Popen(
-                [sys.executable, "-c", _CHILD],
+                [sys.executable, "-c", child_src],
                 cwd=_REPO, env=env,
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             )
@@ -78,12 +123,40 @@ def test_two_process_psum(tmp_path):
     outs = []
     for rank, p in enumerate(procs):
         try:
-            out, _ = p.communicate(timeout=600)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
             raise
         outs.append(out)
         assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+    return outs
+
+
+def test_two_process_train_step():
+    """The full IDEAS train step ACROSS PROCESSES: 2 ranks x 2 virtual
+    devices = a 4-device global data mesh, params replicated globally,
+    each rank feeding its local half of the batch; the gradient
+    all-reduce crosses the process boundary. This is the executed
+    equivalent of the reference actually TRAINING under DDP
+    (`/root/reference/stylegan2/train.py:166-245,425-438`), not just
+    initializing it."""
+    outs = _run_two_ranks(
+        _TRAIN_CHILD,
+        timeout=1500,  # 2 concurrent single-core compiles of the R1 step
+        extra_env={
+            "XLA_FLAGS": (
+                "--xla_force_host_platform_device_count=2 "
+                "--xla_cpu_collective_call_terminate_timeout_seconds=900 "
+                "--xla_cpu_collective_timeout_seconds=900"
+            )
+        },
+    )
+    for rank, out in enumerate(outs):
+        assert f"TRAIN_STEP_OK rank={rank} loss_finite=True" in out, out
+
+
+def test_two_process_psum(tmp_path):
+    outs = _run_two_ranks(_CHILD, timeout=600)
     for rank, out in enumerate(outs):
         assert f"PSUM_OK rank={rank} out=3.0" in out, out
