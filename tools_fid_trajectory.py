@@ -34,6 +34,9 @@ def main():
     exp_dir = sys.argv[1]
     n_sample = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    # Only evaluate checkpoints at multiples of `every` (bounds the wall
+    # time of an 80k run with 40 retained checkpoints to ~10 points).
+    every = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
     from ideas_tpu.checkpoint import CheckpointManager
     from ideas_tpu.data.device_synthetic import synthetic_batch
@@ -57,8 +60,8 @@ def main():
         lambda k: trainer.init_state(k), jax.random.PRNGKey(0)
     )
     manager = CheckpointManager(f"{exp_dir}/checkpoints")
-    steps = manager.all_steps()
-    print(f"checkpoints: {steps}", flush=True)
+    steps = [s for s in manager.all_steps() if s % every == 0]
+    print(f"checkpoints (every {every}): {steps}", flush=True)
 
     feature_fn = make_feature_fn(fixed_params())
     res = cfg.image_size // 16
