@@ -27,6 +27,24 @@ latest_step() {
     | sort -n | tail -1 || true
 }
 
+# Recycle-proof archival: orphan refs (snapshot_seed below) protect
+# against intra-round crashes but do NOT survive the between-rounds
+# host recycle (learned 2026-08-19: refs/seeds/* were dropped; the
+# objects survived only as dangling blobs). A COMPLETED run's seed
+# must land on main.
+commit_seed_main() {
+  local exp="$1"
+  "$PY" -m ideas_tpu.tools.seed_checkpoint archive "experiments/$exp" seeds/ \
+    || { stage "WARN: main-seed archive failed for $exp"; return 0; }
+  git add seeds/"$exp".seed.tar.gz seeds/"$exp".seed.json \
+    && git commit -q -m "seed (main, recycle-proof): $exp at completion
+
+No-Verification-Needed: data-only checkpoint tarball" \
+         -- seeds/"$exp".seed.tar.gz seeds/"$exp".seed.json \
+    && stage "seed committed to main: $exp" \
+    || stage "WARN: main-seed commit failed for $exp"
+}
+
 snapshot_seed() {
   local exp="$1" idx tree commit
   mkdir -p seeds/live
@@ -85,7 +103,7 @@ stage "=== r4 chain start (deadline=$DEADLINE) ==="
 # Stage 0: make sure the 80k run is actually complete (resume if the
 # old chain's deadline cut it short), then snapshot.
 train_to n1_80k_bestrecipe 80000 ""
-snapshot_seed n1_80k_bestrecipe
+commit_seed_main n1_80k_bestrecipe
 
 stop_requested && { stage "STOP_CHAIN -> abort"; exit 0; }
 past_deadline && { stage "deadline -> stop"; exit 0; }
@@ -108,7 +126,7 @@ stop_requested && { stage "STOP_CHAIN -> abort"; exit 0; }
 past_deadline && { stage "deadline -> stop"; exit 0; }
 
 train_to n2_20k_bestrecipe 20000 "--N 2"
-snapshot_seed n2_20k_bestrecipe
+commit_seed_main n2_20k_bestrecipe
 
 stop_requested && { stage "STOP_CHAIN -> abort"; exit 0; }
 past_deadline && { stage "deadline -> skip evals"; exit 0; }
