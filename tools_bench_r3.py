@@ -11,6 +11,10 @@ the bench.py headline config — unless stated):
     compact_bf16   + compact_adam with bfloat16 nu
     rgb_micro      standalone micro-bench: C=3 from/to-RGB convs vs
                    8-lane-padded variants (no trainer)
+    demod_micro    standalone micro-bench: is the demod multiply fused
+                   into the conv epilogue? (no trainer)
+    nodonate       headline config with buffer donation DISABLED
+                   (quantifies what donate_argnums is worth)
 """
 
 import sys
@@ -24,7 +28,7 @@ def sync_scalar(x):
     return float(jax.device_get(jnp.sum(x)))
 
 
-def bench_step(**cfg_kw):
+def bench_step(donate=True, **cfg_kw):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -41,8 +45,8 @@ def bench_step(**cfg_kw):
     state = trainer.init_state(jax.random.PRNGKey(0))
     x = jax.device_put(np.random.default_rng(0)
                        .uniform(-1, 1, (batch, 256, 256, 3)).astype(np.float32))
-    step_plain = trainer.train_step_fn(do_r1=False, donate=True)
-    step_r1 = trainer.train_step_fn(do_r1=True, donate=True)
+    step_plain = trainer.train_step_fn(do_r1=False, donate=donate)
+    step_r1 = trainer.train_step_fn(do_r1=True, donate=donate)
     for _ in range(2):
         state, m = step_plain(state, x)
     state, m = step_r1(state, x)
@@ -105,6 +109,113 @@ def bench_rgb_micro():
     print("BENCH_R3_OK")
 
 
+def bench_demod_micro():
+    """Is the per-(batch, out-channel) demodulation multiply an extra HBM
+    round trip, or does XLA fuse it into the conv epilogue with the bias
+    and leaky-relu? Measures the hot 3x3 StyledConv shape (128^2 x 256,
+    3B=24, bf16) in four forms:
+      conv            bare modulated conv (no demod multiply, no act)
+      conv+demod      + the y * demod[b,o] multiply
+      conv+demod+act  + bias + fused leaky-relu (the real StyledConv tail)
+      conv+act        bias + lrelu but demod skipped (isolates demod cost)
+    If all four sit within conv's time +- noise, the epilogue is already
+    fused and the 'XLA-level fused demod epilogue' candidate is closed."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ideas_tpu.ops.fused_act import fused_leaky_relu
+
+    B, H, C = 24, 128, 256
+    rng = np.random.default_rng(0)
+    xm = jnp.asarray(rng.standard_normal((B, H, H, C)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((3, 3, C, C)) * 0.02, jnp.bfloat16)
+    demod = jnp.asarray(rng.uniform(0.5, 2.0, (B, C)), jnp.bfloat16)
+    bias = jnp.asarray(rng.standard_normal((C,)), jnp.bfloat16)
+
+    def conv(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    cases = {
+        "conv": jax.jit(lambda x, w, d, b: conv(x, w)),
+        "conv+demod": jax.jit(
+            lambda x, w, d, b: conv(x, w) * d[:, None, None, :]),
+        "conv+demod+act": jax.jit(
+            lambda x, w, d, b: fused_leaky_relu(
+                conv(x, w) * d[:, None, None, :], b)),
+        "conv+act": jax.jit(
+            lambda x, w, d, b: fused_leaky_relu(conv(x, w), b)),
+    }
+    for name, fn in cases.items():
+        sync_scalar(fn(xm, w, demod, bias))  # compile
+        t0 = time.time()
+        out = None
+        for _ in range(50):
+            out = fn(xm, w, demod, bias)
+        sync_scalar(out)
+        print(f"RESULT {name}: {(time.time()-t0)/50*1000:.3f} ms")
+    print("BENCH_R3_OK")
+
+
+def bench_autolayout():
+    """Layout audit: let XLA choose entry/exit layouts (Layout.AUTO) for
+    the R1 train step instead of JAX's default row-major, and time the
+    steady-state loop. If XLA wants a non-default layout for the Adam
+    states / params, this wins; if default layouts are already optimal
+    (likely — everything is NHWC/HWIO dense), it's neutral and the audit
+    closes. Times the R1 step ALONE (one program; cross-program layout
+    consistency only matters if this shows a win)."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.experimental.layout import Format, Layout
+
+    from ideas_tpu.config import TrainConfig
+    from ideas_tpu.train import Trainer
+
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    cfg = TrainConfig(image_size=256, channel=32, batch_size=8,
+                      compute_dtype=jnp.bfloat16, share_phase_noise=True,
+                      compact_adam=True)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    x = jax.device_put(np.random.default_rng(0)
+                       .uniform(-1, 1, (8, 256, 256, 3)).astype(np.float32))
+    inner = trainer.build_train_step(do_r1=True)
+
+    # Compile BOTH programs and lay out the auto copy BEFORE running the
+    # default loop: the default loop donates `state`, so the auto inputs
+    # must be copied out of it first.
+    c_default = jax.jit(inner, donate_argnums=(0,)).lower(state, x).compile()
+    c_auto = jax.jit(
+        inner, donate_argnums=(0,),
+        in_shardings=Format(Layout.AUTO),
+        out_shardings=Format(Layout.AUTO),
+    ).lower(state, x).compile()
+    fmts_d = jax.tree.leaves(c_default.input_formats[0]) + \
+        jax.tree.leaves(c_default.input_formats[1])
+    fmts_a = jax.tree.leaves(c_auto.input_formats[0]) + \
+        jax.tree.leaves(c_auto.input_formats[1])
+    ndiff = sum(1 for a, b in zip(fmts_a, fmts_d) if str(a) != str(b))
+    print(f"INFO auto picked {ndiff}/{len(fmts_a)} non-default input layouts")
+    st_a, x_a = jax.device_put((state, x), c_auto.input_formats[0:2])
+
+    for name, compiled, st, xx in (
+        ("default-layout", c_default, state, x),
+        ("auto-layout", c_auto, st_a, x_a),
+    ):
+        st, m = compiled(st, xx)
+        sync_scalar(m["Loss_total"])
+        t0 = time.time()
+        for _ in range(iters):
+            st, m = compiled(st, xx)
+        sync_scalar(m["Loss_total"])
+        print(f"RESULT {name}: {(time.time()-t0)/iters*1000:.2f} ms/step "
+              f"({iters} R1 iters)")
+    print("BENCH_R3_OK")
+
+
 def main():
     mode = sys.argv[1]
     if mode == "base":
@@ -115,6 +226,12 @@ def main():
         bench_step(compact_adam=True, adam_nu_dtype="bfloat16")
     elif mode == "rgb_micro":
         bench_rgb_micro()
+    elif mode == "demod_micro":
+        bench_demod_micro()
+    elif mode == "nodonate":
+        bench_step(donate=False, compact_adam=True)
+    elif mode == "autolayout":
+        bench_autolayout()
     else:
         raise SystemExit(f"unknown mode {mode}")
 
