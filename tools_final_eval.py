@@ -2,7 +2,13 @@
 delta in {0, 25, 50}% (the paper's headline table, BASELINE.md) from the
 latest EMA checkpoint. One TPU process; ~3-6 min of compiles.
 
-    python tools_final_eval.py [exp_dir=/tmp/exp/paper256dev] [n_batches=16]
+    python tools_final_eval.py [exp_dir=/tmp/exp/paper256dev] [n_batches=16] [sigma=1]
+
+n_batches * batch_size images are evaluated (bits = images * N * res^2 *
+sigma); flips are counted exactly and a 95% Wilson CI is printed so
+100.00% cells carry their sample size. sigma=2 exercises the adaptive
+mapping's capacity axis (`/root/reference/utils.py:74-97`): 2 bits per
+latent element, i.e. 512 bits/image at N=1, 256^2.
 """
 
 import sys
@@ -51,9 +57,10 @@ def _cfg_from_experiment(exp_dir):
 def main():
     exp_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/exp/paper256dev"
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    sigma = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
     from ideas_tpu.checkpoint import CheckpointManager
-    from ideas_tpu.eval.metrics import extraction_accuracy_sweep
+    from ideas_tpu.eval.metrics import extraction_accuracy_sweep, wilson_interval
     from ideas_tpu.train import Trainer
 
     cfg = _cfg_from_experiment(exp_dir)
@@ -72,12 +79,17 @@ def main():
     print(f"checkpoint iter: {int(jax.device_get(state.step))}", flush=True)
 
     sweep = extraction_accuracy_sweep(
-        trainer, state, jax.random.PRNGKey(123), n_batches=n_batches
+        trainer, state, jax.random.PRNGKey(123), n_batches=n_batches,
+        sigma=sigma,
     )
-    bits = cfg.N * (cfg.image_size // 16) ** 2
-    print(f"payload: {bits} bits/image (N={cfg.N}, sigma=1)")
-    for delta, acc in sweep.items():
-        print(f"ACC @ delta={int(delta*100)}%: {acc*100:.2f}%")
+    bits = cfg.N * (cfg.image_size // 16) ** 2 * sigma
+    print(f"payload: {bits} bits/image (N={cfg.N}, sigma={sigma}); "
+          f"{n_batches * cfg.batch_size} images/cell")
+    for delta, r in sweep.items():
+        lo, hi = wilson_interval(r["flips"], r["bits"])
+        print(f"ACC @ delta={int(delta*100)}%: {r['acc']*100:.2f}% "
+              f"({r['flips']} flips / {r['bits']} bits; "
+              f"95% CI [{(1-hi)*100:.3f}, {(1-lo)*100:.3f}]%)")
     print("FINAL_EVAL_OK")
 
 
