@@ -184,16 +184,12 @@ def _uniform7(img):
     return s / 49.0
 
 
-def dssim_distance(x, y) -> jnp.ndarray:
-    """DSSIM fallback metric (`lpips/networks_basic.py:167-180`, RGB
-    path): (1 - SSIM) / 2 with skimage `compare_ssim` defaults —
-    uniform 7x7 window, K1=0.01 / K2=0.03, unbiased covariance,
-    per-channel then averaged, edges cropped. Inputs NHWC in [-1, 1],
-    mapped to the reference's 0..255 image range."""
-    x = (x + 1.0) * 127.5
-    y = (y + 1.0) * 127.5
-    c1 = (0.01 * 255.0) ** 2
-    c2 = (0.03 * 255.0) ** 2
+def _ssim_mean(x, y, data_range: float) -> jnp.ndarray:
+    """Mean SSIM with skimage `compare_ssim` defaults — uniform 7x7
+    window, K1=0.01 / K2=0.03, unbiased covariance, per-channel then
+    averaged, edges cropped (the VALID window IS skimage's post-crop)."""
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
     ux, uy = _uniform7(x), _uniform7(y)
     uxx, uyy = _uniform7(x * x), _uniform7(y * y)
     uxy = _uniform7(x * y)
@@ -204,7 +200,76 @@ def dssim_distance(x, y) -> jnp.ndarray:
     ssim = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
         (ux * ux + uy * uy + c1) * (vx + vy + c2)
     )
-    return (1.0 - jnp.mean(ssim, axis=(1, 2, 3))) / 2.0
+    return jnp.mean(ssim, axis=(1, 2, 3))
+
+
+def dssim_distance(x, y) -> jnp.ndarray:
+    """DSSIM fallback metric (`lpips/networks_basic.py:167-180`, RGB
+    path): (1 - SSIM) / 2. Inputs NHWC in [-1, 1], mapped to the
+    reference's 0..255 image range."""
+    x = (x + 1.0) * 127.5
+    y = (y + 1.0) * 127.5
+    return (1.0 - _ssim_mean(x, y, 255.0)) / 2.0
+
+
+def psnr(x, y, peak: float = 255.0) -> jnp.ndarray:
+    """PSNR helper (`lpips/__init__.py:49-50`), per sample. Inputs NHWC
+    in [-1, 1]; `peak` matches the reference's 0..255 convention."""
+    x = (x + 1.0) * 127.5
+    y = (y + 1.0) * 127.5
+    mse = jnp.mean(jnp.square(x - y), axis=(1, 2, 3))
+    return 10.0 * jnp.log10(peak * peak / mse)
+
+
+# sRGB -> XYZ (D65) matrix and white point, as used by skimage.color
+# (the reference's Lab-colorspace FakeNet metrics route through
+# `color.rgb2lab`, `lpips/__init__.py:70-82`).
+_RGB2XYZ = np.array(
+    [[0.412453, 0.357580, 0.180423],
+     [0.212671, 0.715160, 0.072169],
+     [0.019334, 0.119193, 0.950227]], np.float32)
+_D65 = np.array([0.95047, 1.0, 1.08883], np.float32)
+
+
+def rgb2lab(rgb) -> jnp.ndarray:
+    """CIE Lab from sRGB in [0, 1], NHWC (skimage `color.rgb2lab`
+    semantics: linearize, XYZ via the sRGB matrix, D65 white point,
+    cube-root transfer with the 6/29 linear toe)."""
+    rgb = jnp.asarray(rgb)
+    lin = jnp.where(rgb > 0.04045,
+                    ((rgb + 0.055) / 1.055) ** 2.4,
+                    rgb / 12.92)
+    xyz = lin @ jnp.asarray(_RGB2XYZ.T)
+    t = xyz / jnp.asarray(_D65)
+    eps = (6.0 / 29.0) ** 3
+    f = jnp.where(t > eps,
+                  jnp.cbrt(t),
+                  t / (3 * (6.0 / 29.0) ** 2) + 4.0 / 29.0)
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    return jnp.stack(
+        [116.0 * fy - 16.0, 500.0 * (fx - fy), 200.0 * (fy - fz)], axis=-1)
+
+
+def _to_lab(x) -> jnp.ndarray:
+    """[-1, 1] NHWC -> Lab through the reference's exact route
+    (`lpips/__init__.py:70-82` tensor2tensorlab(to_norm=False)): images
+    quantize to uint8 FIRST (tensor2im truncates), then rgb2lab."""
+    q = jnp.clip(jnp.floor((x + 1.0) * 127.5), 0.0, 255.0)
+    return rgb2lab(q / 255.0)
+
+
+def l2_lab(x, y) -> jnp.ndarray:
+    """Lab-colorspace L2 fallback metric (`networks_basic.py:158-164`
+    with `util.l2(..., range=100.)`): 0.5 * mean(((lab0-lab1)/100)^2),
+    per sample. Inputs NHWC in [-1, 1]."""
+    d = (_to_lab(x) - _to_lab(y)) / 100.0
+    return 0.5 * jnp.mean(jnp.square(d), axis=(1, 2, 3))
+
+
+def dssim_lab(x, y) -> jnp.ndarray:
+    """Lab-colorspace DSSIM fallback metric (`networks_basic.py:173-176`
+    with `util.dssim(..., range=100.)`). Inputs NHWC in [-1, 1]."""
+    return (1.0 - _ssim_mean(_to_lab(x), _to_lab(y), 100.0)) / 2.0
 
 
 def packaged_linear_path(net: str) -> str:

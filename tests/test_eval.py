@@ -183,6 +183,78 @@ def test_l2_and_dssim_fallback_metrics():
         np.asarray(dssim_distance(jnp.asarray(x), jnp.asarray(x))), 0, atol=1e-6)
 
 
+def test_lab_fallback_metrics_and_psnr():
+    """Lab-colorspace FakeNet metrics + PSNR helper
+    (`lpips/networks_basic.py:158-176`, `lpips/__init__.py:46-82`):
+    rgb2lab pinned against a float64 numpy oracle of skimage's
+    formulas; l2_lab/dssim_lab route through the reference's exact
+    uint8-quantize-then-Lab conversion."""
+    from scipy.ndimage import uniform_filter
+
+    from ideas_tpu.eval.lpips import dssim_lab, l2_lab, psnr, rgb2lab
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    y = np.clip(x + rng.normal(0, 0.2, x.shape), -1, 1).astype(np.float32)
+
+    def rgb2lab_ref(rgb):  # float64 oracle, skimage color.rgb2lab math
+        rgb = rgb.astype(np.float64)
+        lin = np.where(rgb > 0.04045,
+                       ((rgb + 0.055) / 1.055) ** 2.4, rgb / 12.92)
+        m = np.array([[0.412453, 0.357580, 0.180423],
+                      [0.212671, 0.715160, 0.072169],
+                      [0.019334, 0.119193, 0.950227]])
+        t = lin @ m.T / np.array([0.95047, 1.0, 1.08883])
+        f = np.where(t > (6 / 29) ** 3,
+                     np.cbrt(t), t / (3 * (6 / 29) ** 2) + 4 / 29)
+        return np.stack([116 * f[..., 1] - 16,
+                         500 * (f[..., 0] - f[..., 1]),
+                         200 * (f[..., 1] - f[..., 2])], axis=-1)
+
+    rgb01 = ((x[0] + 1) * 0.5).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(rgb2lab(jnp.asarray(rgb01))),
+                               rgb2lab_ref(rgb01), rtol=1e-4, atol=2e-3)
+
+    def to_lab(a):  # tensor2im truncation then Lab, per the reference
+        q = np.clip(np.floor((a + 1.0) * 127.5), 0, 255)
+        return rgb2lab_ref(q / 255.0)
+
+    got_l2 = np.asarray(l2_lab(jnp.asarray(x), jnp.asarray(y)))
+    want_l2 = np.array([
+        0.5 * (((to_lab(x[i]) - to_lab(y[i])) / 100.0) ** 2).mean()
+        for i in range(len(x))])
+    np.testing.assert_allclose(got_l2, want_l2, rtol=1e-3, atol=1e-7)
+
+    def ssim_lab_ref(a, b):
+        p3, q3 = to_lab(a), to_lab(b)
+        c1, c2 = (0.01 * 100) ** 2, (0.03 * 100) ** 2
+        vals = []
+        for ch in range(3):
+            p, q = p3[..., ch], q3[..., ch]
+            f = lambda m: uniform_filter(m, size=7)
+            up, uq = f(p), f(q)
+            cov_norm = 49.0 / 48.0
+            vp = cov_norm * (f(p * p) - up * up)
+            vq = cov_norm * (f(q * q) - uq * uq)
+            vpq = cov_norm * (f(p * q) - up * uq)
+            s = ((2 * up * uq + c1) * (2 * vpq + c2)) / (
+                (up ** 2 + uq ** 2 + c1) * (vp + vq + c2))
+            vals.append(s[3:-3, 3:-3].mean())
+        return np.mean(vals)
+
+    got_ds = np.asarray(dssim_lab(jnp.asarray(x), jnp.asarray(y)))
+    want_ds = np.array([(1 - ssim_lab_ref(x[i], y[i])) / 2
+                        for i in range(len(x))])
+    np.testing.assert_allclose(got_ds, want_ds, rtol=1e-3, atol=1e-5)
+    assert np.allclose(
+        np.asarray(dssim_lab(jnp.asarray(x), jnp.asarray(x))), 0, atol=1e-6)
+
+    got_psnr = np.asarray(psnr(jnp.asarray(x), jnp.asarray(y)))
+    mse = ((x - y) * 127.5) ** 2
+    want_psnr = 10 * np.log10(255.0 ** 2 / mse.mean(axis=(1, 2, 3)))
+    np.testing.assert_allclose(got_psnr, want_psnr, rtol=1e-4)
+
+
 def test_ppl_slerp_endpoints():
     from ideas_tpu.eval.ppl import slerp
 
