@@ -183,6 +183,28 @@ def test_l2_and_dssim_fallback_metrics():
         np.asarray(dssim_distance(jnp.asarray(x), jnp.asarray(x))), 0, atol=1e-6)
 
 
+def test_wilson_interval():
+    """Certification CI for the ACC sweeps: Wilson score interval on the
+    bit-error rate. Pinned against the closed form at its edge cases."""
+    from ideas_tpu.eval.metrics import wilson_interval
+
+    # 0 flips in n bits: lower bound 0, upper = z^2 / (n + z^2).
+    lo, hi = wilson_interval(0, 40960)
+    assert lo == 0.0
+    np.testing.assert_allclose(hi, 1.96 ** 2 / (40960 + 1.96 ** 2), rtol=1e-12)
+
+    # Symmetric at p = 0.5.
+    lo, hi = wilson_interval(500, 1000)
+    np.testing.assert_allclose(0.5 - lo, hi - 0.5, rtol=1e-9)
+    # Wilson half-width at p=.5, n=1000: z/(1+z^2/n) * sqrt(.25/n + z^2/4n^2)
+    z = 1.96
+    half = (z / (1 + z * z / 1000)) * (0.25 / 1000 + z * z / 4e6) ** 0.5
+    np.testing.assert_allclose(hi - 0.5, half, rtol=1e-9)
+
+    # Degenerate input.
+    assert wilson_interval(0, 0) == (0.0, 1.0)
+
+
 def test_lab_fallback_metrics_and_psnr():
     """Lab-colorspace FakeNet metrics + PSNR helper
     (`lpips/networks_basic.py:158-176`, `lpips/__init__.py:46-82`):
