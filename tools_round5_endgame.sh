@@ -24,6 +24,16 @@ bail_if_done() {
   return 0
 }
 have() { [ -f "$1" ] && grep -q "$2" "$1"; }
+# Cap a stage budget by the time left to the deadline, so no stage
+# started near the deadline can straddle it and hold the TPU into the
+# driver's bench window. Prints the capped budget; 0 = don't start.
+budget() { # $1 = wanted seconds
+  local rem
+  if [ "$DEADLINE" -le 0 ]; then echo "$1"; return; fi
+  rem=$(( DEADLINE - $(date +%s) ))
+  [ "$rem" -lt 120 ] && { echo 0; return; }
+  [ "$rem" -lt "$1" ] && echo "$rem" || echo "$1"
+}
 
 stage "=== r5 endgame start (deadline=$DEADLINE) ==="
 
@@ -38,7 +48,8 @@ if have /tmp/feval_n2s1.log FINAL_EVAL_OK; then
   stage "n2s1 already done — skip"
 else
   stage "final eval: n2_20k_bestrecipe (n_batches=160 sigma=1)"
-  timeout 3000 "$PY" tools_final_eval.py experiments/n2_20k_bestrecipe 160 1 \
+  B=$(budget 3000); [ "$B" -gt 0 ] || { stage "no budget -> stop"; exit 0; }
+  timeout "$B" "$PY" tools_final_eval.py experiments/n2_20k_bestrecipe 160 1 \
     > /tmp/feval_n2s1.log 2>&1
   have /tmp/feval_n2s1.log FINAL_EVAL_OK \
     && stage "final eval n2s1 OK" || stage "WARN: final eval n2s1 failed"
@@ -48,7 +59,8 @@ if have /tmp/feval_n2s2.log FINAL_EVAL_OK; then
   stage "n2s2 already done — skip"
 else
   stage "final eval: n2_20k_bestrecipe (n_batches=80 sigma=2)"
-  timeout 3000 "$PY" tools_final_eval.py experiments/n2_20k_bestrecipe 80 2 \
+  B=$(budget 3000); [ "$B" -gt 0 ] || { stage "no budget -> stop"; exit 0; }
+  timeout "$B" "$PY" tools_final_eval.py experiments/n2_20k_bestrecipe 80 2 \
     > /tmp/feval_n2s2.log 2>&1
   have /tmp/feval_n2s2.log FINAL_EVAL_OK \
     && stage "final eval n2s2 OK" || stage "WARN: final eval n2s2 failed"
@@ -59,8 +71,9 @@ bail_if_done
 if have /tmp/fidtraj_n2.log FID_TRAJECTORY_OK; then
   stage "FID trajectory already done — skip"
 else
-  stage "relative-FID trajectory (N=2 run, 8000-iter checkpoints)"
-  timeout 3600 "$PY" tools_fid_trajectory.py experiments/n2_20k_bestrecipe 2000 32 8000 \
+  stage "relative-FID trajectory (N=2 run, 4000-iter checkpoints incl 20k/52k)"
+  B=$(budget 3600); [ "$B" -gt 0 ] || { stage "no budget -> stop"; exit 0; }
+  timeout "$B" "$PY" tools_fid_trajectory.py experiments/n2_20k_bestrecipe 2000 32 4000 \
     > /tmp/fidtraj_n2.log 2>&1
   have /tmp/fidtraj_n2.log FID_TRAJECTORY_OK \
     && stage "FID trajectory OK" || stage "WARN: FID trajectory failed"
@@ -74,13 +87,15 @@ if [ -f experiments/ondisk_datapath/training_logs.txt ] \
 else
   if ! have /tmp/makedata.log MAKE_DATASET_OK; then
     stage "rasterizing synthetic family to PNGs"
-    timeout 1800 "$PY" tools_make_dataset.py experiments/data_png 2048 256 default \
+    B=$(budget 1800); [ "$B" -gt 0 ] || { stage "no budget -> stop"; exit 0; }
+    timeout "$B" "$PY" tools_make_dataset.py experiments/data_png 2048 256 default \
       > /tmp/makedata.log 2>&1
     have /tmp/makedata.log MAKE_DATASET_OK \
       && stage "dataset written" || stage "WARN: dataset write failed"
   fi
   stage "on-disk datapath run (--dataset_type normal, 1200 iters)"
-  timeout 2700 "$PY" -m ideas_tpu.train_cli --exp_name ondisk_datapath \
+  B=$(budget 2700); [ "$B" -gt 0 ] || { stage "no budget -> stop"; exit 0; }
+  timeout "$B" "$PY" -m ideas_tpu.train_cli --exp_name ondisk_datapath \
     --dataset_type normal --dataset_path experiments/data_png \
     --num_iters 1200 --image_size 256 --channel 32 --batch_size 8 --bf16 \
     --lambda_Ex 30 --ex_margin 0.2 --share_phase_noise --compact_adam \
@@ -96,7 +111,8 @@ if have /tmp/nodonate.log BENCH_R3_OK; then
   stage "nodonate already done — skip"
 else
   stage "perf audit: nodonate"
-  timeout 1800 "$PY" tools_bench_r3.py nodonate > /tmp/nodonate.log 2>&1
+  B=$(budget 1800); [ "$B" -gt 0 ] || { stage "no budget -> stop"; exit 0; }
+  timeout "$B" "$PY" tools_bench_r3.py nodonate > /tmp/nodonate.log 2>&1
   have /tmp/nodonate.log BENCH_R3_OK \
     && stage "nodonate OK" || stage "WARN: nodonate failed"
 fi
@@ -105,7 +121,8 @@ if have /tmp/autolayout.log BENCH_R3_OK; then
   stage "autolayout already done — skip"
 else
   stage "perf audit: autolayout"
-  timeout 1800 "$PY" tools_bench_r3.py autolayout > /tmp/autolayout.log 2>&1
+  B=$(budget 1800); [ "$B" -gt 0 ] || { stage "no budget -> stop"; exit 0; }
+  timeout "$B" "$PY" tools_bench_r3.py autolayout > /tmp/autolayout.log 2>&1
   have /tmp/autolayout.log BENCH_R3_OK \
     && stage "autolayout OK" || stage "WARN: autolayout failed"
 fi
